@@ -1,0 +1,203 @@
+"""CLIP visual tower with ST-adapters + STG-CMA token-level fusion.
+
+Reference: AVE/model/CLIP_AVE.py — ResidualAttentionBlock active paths
+(:110-143 video_adapt, :160-174 audio_adapt, :210-243 multimodal, :359-430 fusion)
+and MM_CLIP_AVE (:716-1140). Audio shares the visual tower (same attn/mlp
+weights) through its own conv1_audio / positional_embedding_audio.
+
+Internally tokens are (BT, N, C) batch-first (the reference's LND permutes are
+a torch MHA artifact and are algebraically transparent).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import ClipConfig
+from ..ops.attention import cross_modal_fuse, mha
+from ..ops.common import (layernorm, layernorm_init, linear, linear_init,
+                          quick_gelu, trunc_normal)
+from ..ops.conv import conv2d, conv2d_init
+from .adapters import adapter_apply, adapter_hidden, adapter_init, adapter_out
+
+_MODE = {"videoonly": "video_adapt", "audioonly": "audio_adapt",
+         "multimodal": "multimodal_adapt_no_fusion", "fusion": "fusion_adapt"}
+
+
+# ---------------------------------------------------------------------------
+# block
+# ---------------------------------------------------------------------------
+
+def clip_block_init(key, cfg: ClipConfig, mode: str) -> Dict[str, Any]:
+    d = cfg.embed_dim
+    ks = jax.random.split(key, 12)
+    p: Dict[str, Any] = {
+        "ln_1": layernorm_init(d),
+        "ln_2": layernorm_init(d),
+        "attn": {
+            "in_proj": {"kernel": trunc_normal(ks[0], (d, 3 * d)),
+                        "bias": jnp.zeros((3 * d,), jnp.float32)},
+            "out_proj": linear_init(ks[1], d, d),
+        },
+        "mlp": {"c_fc": linear_init(ks[2], d, 4 * d),
+                "c_proj": linear_init(ks[3], 4 * d, d)},
+        "gate_v": jnp.zeros((1,), jnp.float32),
+        "gate_a": jnp.zeros((1,), jnp.float32),
+    }
+    r = cfg.adapter_ratio
+    video = mode in ("video_adapt", "multimodal_adapt_no_fusion", "fusion_adapt")
+    audio = mode in ("audio_adapt", "multimodal_adapt_no_fusion", "fusion_adapt")
+    if video:
+        p["S_Adapter"] = adapter_init(ks[4], d, r)
+        p["T_Adapter"] = adapter_init(ks[5], d, r)
+        p["MLP_Adapter"] = adapter_init(ks[6], d, r)
+    if audio:
+        p["S_Adapter_Audio"] = adapter_init(ks[7], d, r)
+        p["T_Adapter_Audio"] = adapter_init(ks[8], d, r)
+        p["MLP_Adapter_Audio"] = adapter_init(ks[9], d, r)
+    return p
+
+
+def _attention(p, x, heads: int):
+    """self.attention(): MHA(x, x, x) (CLIP_AVE.py:106-108)."""
+    return mha(p["attn"], x, x, x, heads)
+
+
+def _mlp(p, x):
+    return linear(p["mlp"]["c_proj"], quick_gelu(linear(p["mlp"]["c_fc"], x)))
+
+
+def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
+    """temporal adaptation: attention over the frame axis + no-skip T_Adapter +
+    residual (CLIP_AVE.py:131-135). x: (B*T, N, C)."""
+    BT, N, C = x.shape
+    B = BT // T
+    xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
+    res = adapter_apply(p[adapter_key], _attention(p, layernorm(p["ln_1"], xt), heads),
+                        skip=False)
+    xt = xt + res
+    return xt.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(BT, N, C)
+
+
+def _single(p, x, cfg: ClipConfig, sfx: str):
+    """video_adapt / audio_adapt (CLIP_AVE.py:128-143, 160-174)."""
+    h = cfg.heads
+    x = _t_adapt(p, x, h, cfg.num_frames, "T_Adapter" + sfx)
+    x = x + adapter_apply(p["S_Adapter" + sfx], _attention(p, layernorm(p["ln_1"], x), h),
+                          skip=True)
+    xn = _mlp(p, layernorm(p["ln_2"], x))
+    return x + xn + adapter_apply(p["MLP_Adapter" + sfx], xn, skip=False)
+
+
+def _fusion(p, v, a, cfg: ClipConfig):
+    """fusion_adapt — token-level STG-CMA (CLIP_AVE.py:359-430)."""
+    h = cfg.heads
+    v = _t_adapt(p, v, h, cfg.num_frames, "T_Adapter")
+    a = _t_adapt(p, a, h, cfg.num_frames, "T_Adapter_Audio")
+
+    vs = _attention(p, layernorm(p["ln_1"], v), h)
+    a_s = _attention(p, layernorm(p["ln_1"], a), h)
+    vs_h = adapter_hidden(p["S_Adapter"], vs)
+    as_h = adapter_hidden(p["S_Adapter_Audio"], a_s)
+    vs_h, as_h = cross_modal_fuse(vs_h, as_h, p["gate_v"], p["gate_a"])
+    v = v + vs + adapter_out(p["S_Adapter"], vs_h)
+    a = a + a_s + adapter_out(p["S_Adapter_Audio"], as_h)
+
+    vn = _mlp(p, layernorm(p["ln_2"], v))
+    an = _mlp(p, layernorm(p["ln_2"], a))
+    vn_h = adapter_hidden(p["MLP_Adapter"], vn)
+    an_h = adapter_hidden(p["MLP_Adapter_Audio"], an)
+    vn_h, an_h = cross_modal_fuse(vn_h, an_h, p["gate_v"], p["gate_a"])
+    v = v + vn + adapter_out(p["MLP_Adapter"], vn_h)
+    a = a + an + adapter_out(p["MLP_Adapter_Audio"], an_h)
+    return v, a
+
+
+def clip_block_apply(p, x, cfg: ClipConfig, mode: str):
+    if mode == "video_adapt":
+        return _single(p, x, cfg, "")
+    if mode == "audio_adapt":
+        return _single(p, x, cfg, "_Audio")
+    if mode == "multimodal_adapt_no_fusion":
+        v, a = x
+        return _single(p, v, cfg, ""), _single(p, a, cfg, "_Audio")
+    if mode == "fusion_adapt":
+        return _fusion(p, x[0], x[1], cfg)
+    raise ValueError(mode)
+
+
+# ---------------------------------------------------------------------------
+# tower
+# ---------------------------------------------------------------------------
+
+def clip_backbone_init(key, cfg: ClipConfig) -> Dict[str, Any]:
+    d = cfg.embed_dim
+    scale = d ** -0.5
+    ks = jax.random.split(key, cfg.layers + 8)
+    mode = _MODE[cfg.ftmode]
+    return {
+        "conv1": conv2d_init(ks[0], 3, d, cfg.patch_size, bias=False),
+        "conv1_audio": conv2d_init(ks[1], 1, d, cfg.patch_size, bias=False),
+        "class_embedding": scale * jax.random.normal(ks[2], (d,), jnp.float32),
+        "positional_embedding": scale * jax.random.normal(
+            ks[3], (cfg.num_patches + 1, d), jnp.float32),
+        "positional_embedding_audio": scale * jax.random.normal(
+            ks[4], (cfg.num_patches_audio + 1, d), jnp.float32),
+        "temporal_embedding": jnp.zeros((1, cfg.num_frames, d), jnp.float32),
+        "temporal_embedding_audio": jnp.zeros((1, cfg.num_frames, d), jnp.float32),
+        "ln_pre": layernorm_init(d),
+        "ln_post": layernorm_init(d),
+        "resblocks": [clip_block_init(ks[5 + i], cfg, mode) for i in range(cfg.layers)],
+    }
+
+
+def _embed(params, x, conv_key: str, pos_key: str, cfg: ClipConfig):
+    """patchify + class token + pos embed + temporal embed + ln_pre.
+    x: (B, T, H, W, Cin) -> (B*T, N+1, D) (CLIP_AVE.py:1091-1105)."""
+    B, T = x.shape[0], x.shape[1]
+    x = x.reshape((B * T,) + x.shape[2:])
+    y = conv2d(params[conv_key], x, stride=cfg.patch_size)  # (BT, gh, gw, D)
+    BT = y.shape[0]
+    y = y.reshape(BT, -1, cfg.embed_dim)
+    cls = params["class_embedding"].astype(y.dtype)
+    cls = jnp.broadcast_to(cls, (BT, 1, cfg.embed_dim))
+    y = jnp.concatenate([cls, y], axis=1)
+    y = y + params[pos_key].astype(y.dtype)
+    N = y.shape[1]
+    t_emb = params["temporal_embedding" if pos_key == "positional_embedding"
+                   else "temporal_embedding_audio"].astype(y.dtype)  # (1, T, D)
+    y = y.reshape(B, T, N, -1) + t_emb[:, :, None, :]
+    y = y.reshape(BT, N, -1)
+    return layernorm(params["ln_pre"], y)
+
+
+def clip_backbone_apply(params, cfg: ClipConfig, a=None, v=None):
+    """Returns dict of per-stream class-token features (BT, D) after ln_post
+    (MM_CLIP_AVE.forward, CLIP_AVE.py:979-1140).
+
+    v: (B, T, H, W, 3); a: (B, T, La, Fa) fbank (La=audio_tdim rows, Fa=mel cols).
+    """
+    mode = _MODE[cfg.ftmode]
+    out: Dict[str, Any] = {}
+    if cfg.ftmode == "videoonly":
+        x = _embed(params, v, "conv1", "positional_embedding", cfg)
+        for bp in params["resblocks"]:
+            x = clip_block_apply(bp, x, cfg, mode)
+        out["v"] = layernorm(params["ln_post"], x)[:, 0]
+        return out
+    if cfg.ftmode == "audioonly":
+        x = _embed(params, a[..., None], "conv1_audio", "positional_embedding_audio", cfg)
+        for bp in params["resblocks"]:
+            x = clip_block_apply(bp, x, cfg, mode)
+        out["a"] = layernorm(params["ln_post"], x)[:, 0]
+        return out
+    vt = _embed(params, v, "conv1", "positional_embedding", cfg)
+    at = _embed(params, a[..., None], "conv1_audio", "positional_embedding_audio", cfg)
+    x = (vt, at)
+    for bp in params["resblocks"]:
+        x = clip_block_apply(bp, x, cfg, mode)
+    out["v"] = layernorm(params["ln_post"], x[0])[:, 0]
+    out["a"] = layernorm(params["ln_post"], x[1])[:, 0]
+    return out

@@ -1,0 +1,398 @@
+"""Swin-2D adapter backbone with STG-CMA cross-modal fusion — TPU-native.
+
+One parameterized implementation replaces the reference's three near-identical
+~1.9k-line task copies (AVE/model/Swin_AVE.py, AVQA/model/Swin_AVQAModel_V1.py,
+AVS/model/Swin_AVSModel.py). Only the reference's *active* code paths are
+implemented (SURVEY.md §2.1 note).
+
+Design notes (TPU-first):
+- everything is static-shape; window partition/shift are reshapes + jnp.roll
+  (XLA lowers the roll to concat/slice)
+- tokens are channel-last (.., N, C) with C a multiple of 128 at every stage
+  for all reference presets — MXU/VPU lane-aligned
+- softmax/LayerNorm in fp32; matmuls honored via preferred_element_type
+- parameters are plain nested dicts so torch checkpoints map 1:1
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import SwinConfig
+from ..ops import window as W
+from ..ops.attention import cross_modal_fuse, temporal_attention, window_attention
+from ..ops.common import (layernorm, layernorm_init, linear, linear_init,
+                          mlp_apply, mlp_init, trunc_normal)
+from ..ops.conv import conv3d, conv3d_init
+from .adapters import adapter_apply, adapter_hidden, adapter_init, adapter_out
+
+MODES = ("video_adapt", "audio_adapt", "multimodal_adapt_no_fusion", "fusion_adapt")
+
+
+# ---------------------------------------------------------------------------
+# static (non-parameter) geometry per block
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BlockStatic:
+    dim: int
+    H: int
+    W: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    t_attn: bool
+    num_frames: int
+    adapter_ratio: float
+    mode: str
+
+    @property
+    def tokens_per_window(self) -> int:
+        return self.window_size * self.window_size
+
+
+def make_block_static(cfg: SwinConfig, stage: int, block_idx: int, mode: str) -> BlockStatic:
+    H, Wd = cfg.stage_resolution(stage)
+    ws = cfg.window_size
+    shift = 0 if block_idx % 2 == 0 else ws // 2
+    # Swin_AVE.py:330-334 — window larger than the feature map: shrink, no shift
+    if min(H, Wd) <= ws:
+        ws = min(H, Wd)
+        shift = 0
+    return BlockStatic(
+        dim=cfg.stage_dim(stage), H=H, W=Wd, num_heads=cfg.num_heads[stage],
+        window_size=ws, shift_size=shift, t_attn=(block_idx % 2 == 0),
+        num_frames=cfg.num_ttokens, adapter_ratio=cfg.adapter_ratios[stage],
+        mode=mode)
+
+
+def _mode_for_ftmode(ftmode: str) -> str:
+    return {"videoonly": "video_adapt", "audioonly": "audio_adapt",
+            "multimodal": "multimodal_adapt_no_fusion", "fusion": "fusion_adapt"}[ftmode]
+
+
+class _StaticCache:
+    """Per-process cache of numpy index/mask constants (keyed by geometry)."""
+    _rel: Dict[int, np.ndarray] = {}
+    _tid: Dict[int, np.ndarray] = {}
+    _mask: Dict[Tuple[int, int, int, int], np.ndarray] = {}
+
+    @classmethod
+    def rel_index(cls, ws: int) -> np.ndarray:
+        if ws not in cls._rel:
+            cls._rel[ws] = W.relative_position_index(ws)
+        return cls._rel[ws]
+
+    @classmethod
+    def t_index(cls, t: int) -> np.ndarray:
+        if t not in cls._tid:
+            cls._tid[t] = W.temporal_relative_index(t)
+        return cls._tid[t]
+
+    @classmethod
+    def mask(cls, H: int, Wd: int, ws: int, ss: int) -> Optional[np.ndarray]:
+        if ss == 0:
+            return None
+        key = (H, Wd, ws, ss)
+        if key not in cls._mask:
+            cls._mask[key] = W.shift_attn_mask(H, Wd, ws, ss)
+        return cls._mask[key]
+
+
+# ---------------------------------------------------------------------------
+# block init
+# ---------------------------------------------------------------------------
+
+def block_init(key, st: BlockStatic, qkv_bias: bool = True) -> Dict[str, Any]:
+    ks = jax.random.split(key, 16)
+    dim, nh = st.dim, st.num_heads
+    p: Dict[str, Any] = {
+        "norm1": layernorm_init(dim),
+        "norm2": layernorm_init(dim),
+        "attn": {
+            "qkv": linear_init(ks[0], dim, dim * 3, bias=qkv_bias),
+            "proj": linear_init(ks[1], dim, dim),
+            "relative_position_bias_table": trunc_normal(
+                ks[2], ((2 * st.window_size - 1) ** 2, nh)),
+        },
+        "mlp": mlp_init(ks[3], dim, int(dim * 4.0)),
+        "gate_v": jnp.zeros((1,), jnp.float32),
+        "gate_a": jnp.zeros((1,), jnp.float32),
+    }
+    if st.t_attn:
+        p["attn"]["temporal_position_bias_table"] = trunc_normal(
+            ks[4], (2 * st.num_frames - 1, nh))
+        p["attn"]["temporal_position_bias_table_audio"] = trunc_normal(
+            ks[5], (2 * st.num_frames - 1, nh))
+    video = st.mode in ("video_adapt", "multimodal_adapt_no_fusion", "fusion_adapt")
+    audio = st.mode in ("audio_adapt", "multimodal_adapt_no_fusion", "fusion_adapt")
+    r = st.adapter_ratio
+    if video:
+        if st.t_attn:
+            p["T_Adapter"] = adapter_init(ks[6], dim, r)
+        p["S_Adapter"] = adapter_init(ks[7], dim, r)
+        p["S_Adapter2"] = adapter_init(ks[8], dim, r)
+    if audio:
+        if st.t_attn:
+            p["T_Adapter_Audio"] = adapter_init(ks[9], dim, r)
+        p["S_Adapter_Audio"] = adapter_init(ks[10], dim, r)
+        p["S_Adapter2_Audio"] = adapter_init(ks[11], dim, r)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# block forward pieces
+# ---------------------------------------------------------------------------
+
+def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
+    """Temporal attention over T frame tokens + no-skip T_Adapter + residual
+    (Swin_AVE.py:705-716). x: (B*T, N, C)."""
+    BT, N, C = x.shape
+    T = st.num_frames
+    B = BT // T
+    t_index = jnp.asarray(_StaticCache.t_index(T))
+    xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
+    res = temporal_attention(p["attn"], layernorm(p["norm1"], xt), st.num_heads,
+                             t_index, signal=signal)
+    res = adapter_apply(p[adapter_key], res, skip=False)
+    xt = xt + res
+    return xt.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(BT, N, C)
+
+
+def _spatial_windows(p, x, st: BlockStatic):
+    """LN -> shift -> partition -> W-MSA. Returns (attn_windows, shortcut)."""
+    BT, L, C = x.shape
+    shortcut = x
+    xn = layernorm(p["norm1"], x).reshape(BT, st.H, st.W, C)
+    if st.shift_size > 0:
+        xn = jnp.roll(xn, (-st.shift_size, -st.shift_size), axis=(1, 2))
+    xw = W.window_partition(xn, st.window_size)
+    mask_np = _StaticCache.mask(st.H, st.W, st.window_size, st.shift_size)
+    mask = None if mask_np is None else jnp.asarray(mask_np)
+    rel = jnp.asarray(_StaticCache.rel_index(st.window_size))
+    attn_w = window_attention(p["attn"], xw, st.num_heads, rel, mask=mask)
+    return attn_w, shortcut
+
+
+def _merge_windows(attn_w, st: BlockStatic, BT: int):
+    x = W.window_reverse(attn_w, st.window_size, st.H, st.W)
+    if st.shift_size > 0:
+        x = jnp.roll(x, (st.shift_size, st.shift_size), axis=(1, 2))
+    return x.reshape(BT, st.H * st.W, -1)
+
+
+def _single_stream(p, x, st: BlockStatic, signal: str):
+    """video_adapt / audio_adapt paths (Swin_AVE.py:394-488)."""
+    sfx = "" if signal == "video" else "_Audio"
+    if st.t_attn:
+        x = _temporal_branch(p, x, st, signal, "T_Adapter" + sfx)
+    attn_w, shortcut = _spatial_windows(p, x, st)
+    attn_w = adapter_apply(p["S_Adapter2" + sfx], attn_w, skip=True)
+    x = shortcut + _merge_windows(attn_w, st, x.shape[0])
+    xn = layernorm(p["norm2"], x)
+    return x + mlp_apply(p["mlp"], xn) + 0.5 * adapter_apply(p["S_Adapter" + sfx], xn,
+                                                             skip=False)
+
+
+def _plain_stream(p, x, st: BlockStatic):
+    """AVQA v_nega path: frozen attention + FFN, no adapters, no temporal attn
+    (Swin_AVQAModel_V1.py:752-905 'newly added Dec 1' lines)."""
+    attn_w, shortcut = _spatial_windows(p, x, st)
+    x = shortcut + _merge_windows(attn_w, st, x.shape[0])
+    return x + mlp_apply(p["mlp"], layernorm(p["norm2"], x))
+
+
+def _dual_no_fusion(p, v, a, st: BlockStatic):
+    """multimodal_adapt_no_fusion (Swin_AVE.py:490-591). NOTE the FFN adapter here
+    operates on the MLP *output* without the 0.5 factor, unlike video_adapt."""
+    out = []
+    for x, sfx, signal in ((v, "", "video"), (a, "_Audio", "audio")):
+        if st.t_attn:
+            x = _temporal_branch(p, x, st, signal, "T_Adapter" + sfx)
+        attn_w, shortcut = _spatial_windows(p, x, st)
+        attn_w = adapter_apply(p["S_Adapter2" + sfx], attn_w, skip=True)
+        x = shortcut + _merge_windows(attn_w, st, x.shape[0])
+        xn = mlp_apply(p["mlp"], layernorm(p["norm2"], x))
+        x = x + xn + adapter_apply(p["S_Adapter" + sfx], xn, skip=False)
+        out.append(x)
+    return out[0], out[1]
+
+
+def _dual_fusion(p, v, a, st: BlockStatic):
+    """fusion_adapt — the STG-CMA core (Swin_AVE.py:693-813):
+    temporal attn per modality, W-MSA per modality, bidirectional cross-modal
+    attention on spatial-adapter hiddens (gated), window merge, then the same
+    exchange on FFN ("joint/global") adapter hiddens."""
+    if st.t_attn:
+        v = _temporal_branch(p, v, st, "video", "T_Adapter")
+        a = _temporal_branch(p, a, st, "audio", "T_Adapter_Audio")
+
+    attn_v, shortcut_v = _spatial_windows(p, v, st)
+    attn_a, shortcut_a = _spatial_windows(p, a, st)
+
+    # spatial STG-CMA over window tokens (Nv == Na == ws*ws per window)
+    vs_h = adapter_hidden(p["S_Adapter2"], attn_v)
+    as_h = adapter_hidden(p["S_Adapter2_Audio"], attn_a)
+    vs_h, as_h = cross_modal_fuse(vs_h, as_h, p["gate_v"], p["gate_a"])
+    attn_v = attn_v + adapter_out(p["S_Adapter2"], vs_h)
+    attn_a = attn_a + adapter_out(p["S_Adapter2_Audio"], as_h)
+
+    v = shortcut_v + _merge_windows(attn_v, st, v.shape[0])
+    a = shortcut_a + _merge_windows(attn_a, st, a.shape[0])
+
+    # joint/global STG-CMA on FFN outputs, token-level over the full stage grid
+    vn = mlp_apply(p["mlp"], layernorm(p["norm2"], v))
+    an = mlp_apply(p["mlp"], layernorm(p["norm2"], a))
+    vn_h = adapter_hidden(p["S_Adapter"], vn)
+    an_h = adapter_hidden(p["S_Adapter_Audio"], an)
+    vn_h, an_h = cross_modal_fuse(vn_h, an_h, p["gate_v"], p["gate_a"])
+    v = v + vn + adapter_out(p["S_Adapter"], vn_h)
+    a = a + an + adapter_out(p["S_Adapter_Audio"], an_h)
+    return v, a
+
+
+def block_apply(p, x, st: BlockStatic):
+    """x is a tensor (single-stream) or a tuple (v, a) / (v, a, v_nega)."""
+    if st.mode == "video_adapt":
+        return _single_stream(p, x, st, "video")
+    if st.mode == "audio_adapt":
+        return _single_stream(p, x, st, "audio")
+    if st.mode == "multimodal_adapt_no_fusion":
+        v, a = x
+        return _dual_no_fusion(p, v, a, st)
+    if st.mode == "fusion_adapt":
+        if len(x) == 3:
+            v, a, v_nega = x
+            v_nega = _plain_stream(p, v_nega, st)
+            v, a = _dual_fusion(p, v, a, st)
+            return (v, a, v_nega)
+        v, a = x
+        return _dual_fusion(p, v, a, st)
+    raise ValueError(f"unknown mode {st.mode}")
+
+
+# ---------------------------------------------------------------------------
+# patch embed / merging / stage / backbone
+# ---------------------------------------------------------------------------
+
+def patch_embed_init(key, cfg: SwinConfig, in_chans: int):
+    k1, _ = jax.random.split(key)
+    return {"proj": conv3d_init(k1, in_chans, cfg.embed_dim, cfg.patch_size),
+            "norm": layernorm_init(cfg.embed_dim)}
+
+
+def patch_embed_apply(p, x, cfg: SwinConfig):
+    """x: (B, T, H, W, C_in) -> tokens (B*T', H'W', C), T' = T // pt
+    (reference PatchEmbed3D, Swin_AVE.py:1078-1124)."""
+    B = x.shape[0]
+    y = conv3d(p["proj"], x, stride=cfg.patch_size)  # (B, T', H', W', C)
+    _, Tp, Hp, Wp, C = y.shape
+    y = y.reshape(B * Tp, Hp * Wp, C)
+    y = layernorm(p["norm"], y)
+    return y, B, Tp
+
+
+def patch_merging_init(key, dim: int):
+    return {"norm": layernorm_init(4 * dim),
+            "reduction": {"kernel": trunc_normal(key, (4 * dim, 2 * dim))}}
+
+
+def patch_merging_apply(p, x, H: int, Wd: int):
+    x = W.patch_merge(x, H, Wd)
+    x = layernorm(p["norm"], x)
+    return linear(p["reduction"], x)
+
+
+def backbone_statics(cfg: SwinConfig) -> List[List[BlockStatic]]:
+    mode = _mode_for_ftmode(cfg.ftmode)
+    return [[make_block_static(cfg, s, i, mode) for i in range(cfg.depths[s])]
+            for s in range(cfg.num_layers)]
+
+
+def backbone_init(key, cfg: SwinConfig) -> Dict[str, Any]:
+    statics = backbone_statics(cfg)
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    layers = []
+    for s in range(cfg.num_layers):
+        bkeys = jax.random.split(keys[s], cfg.depths[s] + 1)
+        layer = {"blocks": [block_init(bkeys[i], statics[s][i], cfg.qkv_bias)
+                            for i in range(cfg.depths[s])]}
+        if s < cfg.num_layers - 1:
+            layer["downsample"] = patch_merging_init(bkeys[-1], cfg.stage_dim(s))
+        layers.append(layer)
+    return {
+        "patch_embed": patch_embed_init(keys[-3], cfg, cfg.in_chans),
+        "patch_embed_audio": patch_embed_init(keys[-2], cfg, 1),
+        "layers": layers,
+        "norm": layernorm_init(cfg.num_features),
+    }
+
+
+def _run_layers(params, cfg: SwinConfig, statics, x, collect_multiscale=False):
+    """Run all stages. x is a tensor or tuple; returns (x, multi_scale list of the
+    *visual* stream before each downsample — AVS taps, Swin_AVSModel.py:1811-1821)."""
+    multi_scale = []
+    for s, layer in enumerate(params["layers"]):
+        for i, bp in enumerate(layer["blocks"]):
+            x = block_apply(bp, x, statics[s][i])
+        if collect_multiscale:
+            v_tap = x[0] if isinstance(x, tuple) else x
+            if s == cfg.num_layers - 1:
+                v_tap = layernorm(params["norm"], v_tap)
+            multi_scale.append(v_tap)
+        if "downsample" in layer:
+            H, Wd = cfg.stage_resolution(s)
+            if isinstance(x, tuple):
+                x = tuple(patch_merging_apply(layer["downsample"], xi, H, Wd) for xi in x)
+            else:
+                x = patch_merging_apply(layer["downsample"], x, H, Wd)
+    return x, multi_scale
+
+
+def backbone_apply(params, cfg: SwinConfig, a=None, v=None, v_nega=None,
+                   collect_multiscale: bool = False):
+    """Full backbone forward.
+
+    Inputs (channel-last, TPU-native):
+      v: (B, T, H, W, 3) video frames
+      a: (B, T, F, Tt) fbank "images" (F=Tt=img_size)
+      v_nega: optional negative visual stream (AVQA)
+
+    Returns dict with normed token tensors per stream (+ multi_scale taps).
+    ftmode routing mirrors Swin_AVE.py:1479-1599.
+    """
+    statics = backbone_statics(cfg)
+    out: Dict[str, Any] = {}
+    if cfg.ftmode == "videoonly":
+        x, _, _ = patch_embed_apply(params["patch_embed"], v, cfg)
+        x, _ = _run_layers(params, cfg, statics, x)
+        out["v"] = layernorm(params["norm"], x)
+        return out
+    if cfg.ftmode == "audioonly":
+        a4 = a[..., None]  # (B, T, F, Tt, 1)
+        x, _, _ = patch_embed_apply(params["patch_embed_audio"], a4, cfg)
+        x, _ = _run_layers(params, cfg, statics, x)
+        out["a"] = layernorm(params["norm"], x)
+        return out
+    # multimodal / fusion
+    vt, B, Tp = patch_embed_apply(params["patch_embed"], v, cfg)
+    at, _, _ = patch_embed_apply(params["patch_embed_audio"], a[..., None], cfg)
+    if v_nega is not None:
+        nt, _, _ = patch_embed_apply(params["patch_embed"], v_nega, cfg)
+        x = (vt, at, nt)
+    else:
+        x = (vt, at)
+    x, multi_scale = _run_layers(params, cfg, statics, x,
+                                 collect_multiscale=collect_multiscale)
+    out["v"] = layernorm(params["norm"], x[0])
+    out["a"] = layernorm(params["norm"], x[1])
+    if v_nega is not None:
+        out["v_nega"] = layernorm(params["norm"], x[2])
+    if collect_multiscale:
+        out["multi_scale"] = multi_scale
+    out["B"], out["T"] = B, Tp
+    return out

@@ -1,0 +1,19 @@
+"""Test harness: force an 8-device virtual CPU mesh (SURVEY.md §4).
+
+The image's sitecustomize pre-imports jax and registers the 'axon' TPU plugin
+with JAX_PLATFORMS=axon pinned in the environment, so plain env vars are not
+enough — we must override via jax.config after import. XLA_FLAGS still works
+because the CPU backend initializes lazily.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/stgcma_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

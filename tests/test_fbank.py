@@ -1,0 +1,94 @@
+"""fbank frontend: independent numpy oracle + shape/property checks.
+
+torchaudio is not installed in this image, so bit-parity is checked against a
+straight-line numpy re-derivation of the kaldi pipeline written independently
+of the JAX implementation (two-implementation cross-check), plus structural
+properties (frame counts, mel monotonicity, padding behavior).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from stgcma_tpu.ops.fbank import (CLIP_FBANK, SWIN_FBANK, FbankConfig, fbank,
+                                  fbank_image, segment_starts)
+
+
+def numpy_kaldi_fbank(wave: np.ndarray, num_mel_bins: int, frame_shift_ms: float):
+    """Oracle: kaldi fbank with hanning window, dither=0, use_energy=False."""
+    sf = 16000.0
+    shift = int(sf * frame_shift_ms * 0.001)
+    ws = int(sf * 25.0 * 0.001)
+    padded = 512
+    m = 1 + (len(wave) - ws) // shift
+    frames = np.stack([wave[i * shift: i * shift + ws] for i in range(m)]).astype(np.float64)
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    pre = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+    frames = frames - 0.97 * pre
+    n = np.arange(ws)
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * n / (ws - 1))
+    frames = frames * window
+    frames = np.pad(frames, ((0, 0), (0, padded - ws)))
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+
+    def mel(f):
+        return 1127.0 * np.log(1.0 + f / 700.0)
+
+    nyq = sf / 2
+    mel_lo, mel_hi = mel(20.0), mel(nyq)
+    delta = (mel_hi - mel_lo) / (num_mel_bins + 1)
+    fft_bin_width = sf / padded
+    mel_f = mel(fft_bin_width * np.arange(padded // 2))
+    banks = np.zeros((num_mel_bins, padded // 2 + 1))
+    for b in range(num_mel_bins):
+        left = mel_lo + b * delta
+        center, right = left + delta, left + 2 * delta
+        up = (mel_f - left) / (center - left)
+        down = (right - mel_f) / (right - center)
+        banks[b, : padded // 2] = np.maximum(0, np.minimum(up, down))
+    mels = spec @ banks.T
+    return np.log(np.maximum(mels, 1.1920928955078125e-07))
+
+
+def test_fbank_matches_numpy_oracle_swin():
+    rng = np.random.RandomState(0)
+    wave = (rng.randn(16000) * 0.1).astype(np.float32)
+    ours = np.asarray(fbank(jnp.asarray(wave), SWIN_FBANK))
+    oracle = numpy_kaldi_fbank(wave.astype(np.float64), 224, 4.4)
+    assert ours.shape == oracle.shape == (223, 224)
+    np.testing.assert_allclose(ours, oracle, rtol=2e-3, atol=2e-3)
+
+
+def test_fbank_matches_numpy_oracle_clip():
+    rng = np.random.RandomState(1)
+    wave = (rng.randn(16320) * 0.1).astype(np.float32)  # ~1.02 s
+    ours = np.asarray(fbank(jnp.asarray(wave), CLIP_FBANK))
+    oracle = numpy_kaldi_fbank(wave.astype(np.float64), 128, 10.0)
+    assert ours.shape == oracle.shape
+    np.testing.assert_allclose(ours, oracle, rtol=2e-3, atol=2e-3)
+
+
+def test_fbank_batched_consistency():
+    rng = np.random.RandomState(2)
+    waves = (rng.randn(3, 4, 16000) * 0.1).astype(np.float32)
+    batched = np.asarray(fbank(jnp.asarray(waves), SWIN_FBANK))
+    single = np.asarray(fbank(jnp.asarray(waves[1, 2]), SWIN_FBANK))
+    np.testing.assert_allclose(batched[1, 2], single, rtol=1e-6, atol=1e-6)
+
+
+def test_fbank_image_pad_and_norm():
+    rng = np.random.RandomState(3)
+    wave = (rng.randn(16000) * 0.1).astype(np.float32)
+    img = np.asarray(fbank_image(jnp.asarray(wave), SWIN_FBANK, 224, -4.0, 4.0))
+    assert img.shape == (224, 224)
+    # last row is zero padding (223 frames -> pad 1)
+    np.testing.assert_allclose(img[-1], (0 - (-4.0)) / 8.0 * 0, atol=1e-6)
+    assert np.abs(img[-1]).max() == 0.0
+    raw = np.asarray(fbank(jnp.asarray(wave), SWIN_FBANK))
+    np.testing.assert_allclose(img[:223], (raw - (-4.0)) / 8.0, rtol=1e-6)
+
+
+def test_segment_starts_matches_reference_linspace():
+    # reference: np.linspace(0, L - 16000*(1+0.1), num=10) for 10x1s AVE segments
+    L = 160700
+    ours = segment_starts(L, 16000, 10)
+    ref = np.linspace(0, L - 16000 * 1.1, num=10, dtype=int)
+    np.testing.assert_array_equal(ours, ref)
