@@ -1,0 +1,83 @@
+"""Benchmark: AVE Swin-Base fusion inference throughput (AV clips/sec/chip).
+
+North-star metric from BASELINE.json: >= 500 AV clips/sec/chip on v5e for
+AVE-29 inference (10 frames video + 10 fbank seconds per clip, both 224x224,
+through the full dual-stream Swin-Base fusion backbone + head).
+
+Measurement notes: this container reaches the chip through a relay with
+~0.5 s per-dispatch latency and an unreliable block_until_ready, so the steady
+state is measured on-device: a lax.scan chains N forwards with a data
+dependence (carry perturbs the input, preventing CSE), and two scan lengths
+are differenced to cancel the fixed dispatch+fetch overhead.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stgcma_tpu.configs import swin_base
+    from stgcma_tpu.models import ave
+    from stgcma_tpu.ops.common import cast_tree
+
+    cfg = swin_base(ftmode="fusion", label_dim=29)
+    params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
+    params = cast_tree(params, jnp.bfloat16)
+
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def fwd_many(params, a, v, n):
+        def body(carry, _):
+            logits = ave.apply_swin_ave(params, cfg,
+                                        a + carry * jnp.bfloat16(1e-8), v)
+            return logits.astype(jnp.float32).mean() * 1e-6, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return acc
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(B, cfg.num_frames, cfg.img_size, cfg.img_size),
+                    jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, cfg.num_frames, cfg.img_size, cfg.img_size, 3),
+                    jnp.bfloat16)
+
+    n_small, n_large = 2, 12
+    # compile both variants (fetch forces real execution through the relay)
+    float(fwd_many(params, a, v, n_small))
+    float(fwd_many(params, a, v, n_large))
+
+    def timed(n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fwd_many(params, a, v, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_small = timed(n_small)
+    t_large = timed(n_large)
+    per_iter = (t_large - t_small) / (n_large - n_small)
+    clips_per_sec = B / per_iter
+
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": "AVE Swin-Base fusion inference throughput "
+                  f"(bf16, batch={B}, on-device steady state, {dev.device_kind})",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips_per_sec / 500.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

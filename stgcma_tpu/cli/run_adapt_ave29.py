@@ -1,0 +1,167 @@
+"""AVE-29 experiment driver (reference entry point: AVE/run_adapt_ave29.py).
+
+Preserves the public flag surface (model/ftmode/lr/head_lr/n_epochs/batch_size/
+adapter ratios/warmup/wa averaging) while replacing bash+hard-coded paths with
+explicit data-root flags and adding --synthetic for end-to-end smoke runs
+without the AVE corpus.
+
+Usage (synthetic smoke):
+    python -m stgcma_tpu.cli.run_adapt_ave29 --synthetic True --n-epochs 1 \
+        --batch_size 2 --model MM-Swin-AVE-Base
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.datasets import AVEDataset, SyntheticAVE
+from ..data.loader import DataLoader, make_ave_device_pipeline
+from ..metrics.stats import calculate_stats
+from ..models import ave
+from ..ops.fbank import CLIP_FBANK, SWIN_FBANK
+from ..train import losses
+from ..train.loop import Trainer, weight_average
+from .common import (archive_args, build_ave_model, maybe_load_pretrained,
+                     seed_everything, str2bool)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="MM-Swin-AVE-Base")
+    p.add_argument("--ftmode", default="fusion",
+                   choices=["videoonly", "audioonly", "multimodal", "fusion"])
+    p.add_argument("--dataset", default="ave29")
+    p.add_argument("--n_class", type=int, default=29)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--head_lr", type=float, default=50.0)
+    p.add_argument("--min_lr", type=float, default=1e-7)
+    p.add_argument("--warmup_epochs", type=int, default=2)
+    p.add_argument("--n-epochs", "--n_epochs", dest="n_epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--adapter_ratios", type=float, nargs="*", default=None)
+    p.add_argument("--freeze_base", type=str2bool, default=True)
+    p.add_argument("--loss", default="CE", choices=["CE", "BCE"])
+    p.add_argument("--wa", type=str2bool, default=False)
+    p.add_argument("--wa_start", type=int, default=1)
+    p.add_argument("--wa_end", type=int, default=5)
+    p.add_argument("--exp-dir", "--exp_dir", dest="exp_dir", default="./exp/ave29")
+    p.add_argument("--pretrain_path", default="")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--dataset_mean", type=float, default=-5.081)
+    p.add_argument("--dataset_std", type=float, default=4.485)
+    # data roots (replacing hard-coded ./STG-CMA/... paths)
+    p.add_argument("--train_order_h5", default="")
+    p.add_argument("--test_order_h5", default="")
+    p.add_argument("--labels_h5", default="")
+    p.add_argument("--frames_root", default="")
+    p.add_argument("--audio_root", default="")
+    p.add_argument("--synthetic", type=str2bool, default=False)
+    p.add_argument("--synthetic_n", type=int, default=8)
+    # CI-sized model override (not a reference preset)
+    p.add_argument("--tiny", type=str2bool, default=False)
+    return p.parse_args(argv)
+
+
+def make_eval_fn(apply_fn, pipe, label_dim):
+    def eval_fn(params, loader):
+        outs, tgts = [], []
+        for batch in loader:
+            a, v = pipe(batch)
+            logits = apply_fn(params, a, v)
+            outs.append(np.asarray(logits, np.float32))
+            tgts.append(np.asarray(batch["labels"]).reshape(-1, label_dim))
+        if not outs:
+            return {}
+        output = np.concatenate(outs)
+        target = np.concatenate(tgts)
+        stats = calculate_stats(output, target)
+        return {"acc": stats[0]["acc"],
+                "mAP": float(np.nanmean([s["AP"] for s in stats]))}
+    return eval_fn
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    rng = seed_everything(0)
+    archive_args(args, args.exp_dir)
+
+    if args.tiny:
+        from ..configs import swin_tiny_test
+        flavor, cfg = "swin", swin_tiny_test(ftmode=args.ftmode,
+                                             label_dim=args.n_class)
+    else:
+        flavor, cfg = build_ave_model(args.model, args.ftmode, args.n_class,
+                                      args.adapter_ratios)
+    init_fn = ave.init_swin_ave if flavor == "swin" else ave.init_clip_ave
+    apply_raw = ave.apply_swin_ave if flavor == "swin" else ave.apply_clip_ave
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    params = maybe_load_pretrained(params, args.pretrain_path, flavor, cfg)
+
+    fb = SWIN_FBANK if flavor == "swin" else CLIP_FBANK
+    target_len = 224 if flavor == "swin" else 102
+    img = cfg.img_size if flavor == "swin" else cfg.input_resolution
+    if args.tiny:
+        import dataclasses as _dc
+        fb = _dc.replace(SWIN_FBANK, num_mel_bins=img)
+        target_len = img
+
+    if args.synthetic:
+        tr_ds = SyntheticAVE(n=args.synthetic_n, num_frames=cfg.num_frames,
+                             size=img, label_dim=args.n_class)
+        te_ds = SyntheticAVE(n=args.synthetic_n // 2, num_frames=cfg.num_frames,
+                             size=img, label_dim=args.n_class, seed=10_000)
+    else:
+        tr_ds = AVEDataset(args.train_order_h5, args.labels_h5, args.frames_root,
+                           args.audio_root, cfg.num_frames, mode="train")
+        te_ds = AVEDataset(args.test_order_h5, args.labels_h5, args.frames_root,
+                           args.audio_root, cfg.num_frames, mode="eval")
+
+    tr = DataLoader(tr_ds, args.batch_size, shuffle=True,
+                    num_workers=args.num_workers)
+    te = DataLoader(te_ds, args.batch_size, shuffle=False,
+                    num_workers=args.num_workers, drop_last=False)
+
+    train_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
+                                          args.dataset_std, train=True,
+                                          image_size=img)
+    eval_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
+                                         args.dataset_std, train=False,
+                                         image_size=img)
+
+    def loss_fn(p, batch, rng_):
+        k1, k2 = jax.random.split(rng_)
+        a, v = train_pipe(batch, k1)
+        logits = apply_raw(p, cfg, a, v, rng=k2)
+        return losses.ave_loss(logits, batch["labels"], args.loss), {}
+
+    @jax.jit
+    def infer(p, a, v):
+        return apply_raw(p, cfg, a, v)
+
+    trainer = Trainer(
+        loss_fn=loss_fn, eval_fn=make_eval_fn(infer, eval_pipe, args.n_class),
+        params=params, base_lr=args.lr, head_lr_mult=args.head_lr,
+        n_epochs=args.n_epochs, steps_per_epoch=max(len(tr), 1),
+        warmup_epochs=args.warmup_epochs, min_lr=args.min_lr,
+        exp_dir=args.exp_dir, freeze_base=args.freeze_base)
+    trainer.fit(tr, te, rng)
+
+    if args.wa:
+        from ..checkpoint.io import load_checkpoint
+        like = trainer.params()
+        trees = [load_checkpoint(os.path.join(args.exp_dir, "models", f"model.{e}"),
+                                 jax.tree_util.tree_map(lambda x: x, like))
+                 for e in range(args.wa_start, min(args.wa_end, args.n_epochs) + 1)]
+        wa_params = weight_average(trees)
+        metrics = make_eval_fn(infer, eval_pipe, args.n_class)(wa_params, te)
+        print("weight-averaged eval:", metrics)
+    print("done. best epoch", trainer.best_epoch, "best", trainer.best_metric)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""MUSIC-AVQA experiment driver (reference entry point: AVQA/run_adapt_avqa.py,
+runnable branch MM-Swin-AVQA-Large only — SURVEY §1 note).
+
+Loss: CE(out_qa) + 0.5*CE(out_match) (AVQA/traintest_adapt_avqa.py:172-179);
+eval: overall + 9 question-type accuracies (:289-373).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import AVQAHeadConfig, swin_large, swin_tiny_test
+from ..data.datasets import AVQADataset
+from ..data.loader import DataLoader, make_ave_device_pipeline
+from ..metrics.stats import avqa_type_accuracy
+from ..models import avqa
+from ..ops.fbank import SWIN_FBANK
+from ..train import losses
+from ..train.loop import Trainer
+from .common import archive_args, seed_everything, str2bool
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="MM-Swin-AVQA-Large")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--min_lr", type=float, default=1e-7)
+    p.add_argument("--warmup_epochs", type=int, default=1)
+    p.add_argument("--n-epochs", "--n_epochs", dest="n_epochs", type=int, default=15)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--num_frames", type=int, default=10)
+    p.add_argument("--adapter_ratios", type=float, nargs="*", default=None)
+    p.add_argument("--exp-dir", "--exp_dir", dest="exp_dir", default="./exp/avqa")
+    p.add_argument("--pretrain_path", default="")
+    p.add_argument("--grounding_pretrained", default="")
+    p.add_argument("--train_json", default="")
+    p.add_argument("--val_json", default="")
+    p.add_argument("--frames_root", default="")
+    p.add_argument("--audio_root", default="")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--dataset_mean", type=float, default=-5.269)
+    p.add_argument("--dataset_std", type=float, default=4.578)
+    p.add_argument("--synthetic", type=str2bool, default=False)
+    p.add_argument("--tiny", type=str2bool, default=False)
+    return p.parse_args(argv)
+
+
+class SyntheticAVQA:
+    def __init__(self, n=4, num_frames=10, size=224, seed=0):
+        self.n, self.T, self.size, self.seed = n, num_frames, size, seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(self.seed + i)
+        return {
+            "frames": rng.randint(0, 256, (self.T, self.size, self.size, 3),
+                                  np.uint8),
+            "frames_nega": rng.randint(0, 256, (self.T, self.size, self.size, 3),
+                                       np.uint8),
+            "wave": (rng.randn(self.T, 31200) * 0.1).astype(np.float32),
+            "question": rng.randint(0, 93, (14,)).astype(np.int32),
+            "answer": np.int32(rng.randint(0, 42)),
+            "qtype": ["Audio", "Counting"],
+        }
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    rng = seed_everything(0)
+    archive_args(args, args.exp_dir)
+
+    if args.tiny:
+        cfg = swin_tiny_test(ftmode="fusion", num_frames=args.num_frames)
+        hcfg = AVQAHeadConfig(feat_dim=cfg.num_features, grid=7,
+                              num_frames=args.num_frames)
+    else:
+        cfg = swin_large(ftmode="fusion", num_frames=args.num_frames,
+                         **({"adapter_ratios": tuple(args.adapter_ratios)}
+                            if args.adapter_ratios else {}))
+        hcfg = AVQAHeadConfig(feat_dim=cfg.num_features, grid=7,
+                              num_frames=args.num_frames)
+    params = avqa.init_avqa(jax.random.PRNGKey(0), cfg, hcfg)
+
+    if args.pretrain_path:
+        import torch
+        from ..checkpoint import torch_convert as TC
+        ckpt = torch.load(args.pretrain_path, map_location="cpu",
+                          weights_only=False)
+        sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        # grounding-checkpoint splice (Swin_AVQAModel_V1.py:1520-1540)
+        if args.grounding_pretrained:
+            g = torch.load(args.grounding_pretrained, map_location="cpu",
+                           weights_only=False)
+            keep = ["fc_a1", "fc_a2", "fc_gl", "fc1", "fc2", "fc3", "fc4"]
+            for k, v in g.items():
+                name = k.replace("module.", "")
+                if name.split(".")[0] in keep:
+                    sd["avqatask_" + name] = v
+        params, unexpected = TC.load_pretrained_swin2d(params, sd, cfg)
+        print(f"loaded {args.pretrain_path}; unexpected: {len(unexpected)}")
+
+    img = cfg.img_size
+    fb = SWIN_FBANK if not args.tiny else dataclasses.replace(
+        SWIN_FBANK, num_mel_bins=img)
+    target_len = 224 if not args.tiny else img
+
+    if args.synthetic:
+        tr_ds = SyntheticAVQA(4, args.num_frames, img)
+        te_ds = SyntheticAVQA(2, args.num_frames, img, seed=77)
+    else:
+        tr_ds = AVQADataset(args.train_json, args.train_json, args.frames_root,
+                            args.audio_root, args.num_frames, "train")
+        te_ds = AVQADataset(args.val_json, args.train_json, args.frames_root,
+                            args.audio_root, args.num_frames, "eval")
+    tr = DataLoader(tr_ds, args.batch_size, shuffle=True,
+                    num_workers=args.num_workers)
+    te = DataLoader(te_ds, args.batch_size, shuffle=False, drop_last=False,
+                    num_workers=args.num_workers)
+
+    train_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
+                                          args.dataset_std, train=True,
+                                          image_size=img)
+    eval_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
+                                         args.dataset_std, train=False,
+                                         image_size=img)
+
+    def loss_fn(p, batch, rng_):
+        k1, k2 = jax.random.split(rng_)
+        a, v = train_pipe({"frames": batch["frames"], "wave": batch["wave"]}, k1)
+        _, vn = train_pipe({"frames": batch["frames_nega"],
+                            "wave": batch["wave"]}, k2)
+        out_qa, m_pos, m_neg = avqa.apply_avqa(p, cfg, hcfg, a, v, vn,
+                                               batch["question"])
+        total, aux = losses.avqa_loss(out_qa, m_pos, m_neg, batch["answer"])
+        return total, aux
+
+    @jax.jit
+    def infer(p, a, v, vn, q):
+        return avqa.apply_avqa(p, cfg, hcfg, a, v, vn, q)[0]
+
+    def eval_fn(p, loader):
+        preds, answers, types = [], [], []
+        for batch in loader:
+            a, v = eval_pipe({"frames": batch["frames"], "wave": batch["wave"]})
+            _, vn = eval_pipe({"frames": batch["frames_nega"],
+                               "wave": batch["wave"]})
+            out_qa = infer(p, a, v, vn, jnp.asarray(batch["question"]))
+            preds.extend(np.argmax(np.asarray(out_qa), -1).tolist())
+            answers.extend(np.asarray(batch["answer"]).tolist())
+            types.extend(batch["qtype"])
+        rep = avqa_type_accuracy(preds, answers, types)
+        return {"acc": rep["Overall"], **{k: v for k, v in rep.items()}}
+
+    trainer = Trainer(loss_fn=loss_fn, eval_fn=eval_fn, params=params,
+                      base_lr=args.lr, n_epochs=args.n_epochs,
+                      steps_per_epoch=max(len(tr), 1),
+                      warmup_epochs=args.warmup_epochs, min_lr=args.min_lr,
+                      exp_dir=args.exp_dir, metric_name="acc")
+    trainer.fit(tr, te, rng)
+    print("done. best epoch", trainer.best_epoch, "best acc", trainer.best_metric)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

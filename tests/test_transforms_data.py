@@ -1,0 +1,120 @@
+"""Vision transform kernels + loader pipeline: shapes, determinism, statistics,
+and torch parity where deterministic."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as tF
+
+from stgcma_tpu.data import transforms as T
+from stgcma_tpu.data.datasets import SyntheticAVE
+from stgcma_tpu.data.loader import DataLoader, collate, make_ave_device_pipeline
+
+
+def test_eval_transform_matches_torch_resize_crop():
+    rng = np.random.RandomState(0)
+    clip = rng.randint(0, 256, (3, 360, 480, 3), np.uint8)
+    out = np.asarray(T.eval_transform(jnp.asarray(clip), 224))
+    # torch oracle: bilinear resize short side to 224 (no antialias), center crop
+    x = torch.from_numpy(clip).permute(0, 3, 1, 2).float()
+    nh, nw = 224, int(round(480 * 224 / 360))
+    xr = tF.interpolate(x, size=(nh, nw), mode="bilinear", align_corners=False)
+    top, left = 0, (nw - 224) // 2
+    xc = xr[:, :, top:top + 224, left:left + 224] / 255.0
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    ref = ((xc - mean) / std).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_rand_augment_shapes_and_range():
+    rng = np.random.RandomState(1)
+    clip = jnp.asarray(rng.randint(0, 256, (2, 64, 64, 3)).astype(np.float32))
+    out = T.rand_augment(jax.random.PRNGKey(0), clip)
+    assert out.shape == clip.shape
+    o = np.asarray(out)
+    assert o.min() >= -1e-3 and o.max() <= 255.001
+    # deterministic under the same key
+    out2 = T.rand_augment(jax.random.PRNGKey(0), clip)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # different under a different key (almost surely)
+    out3 = T.rand_augment(jax.random.PRNGKey(7), clip)
+    assert np.abs(np.asarray(out3) - o).max() > 0
+
+
+def test_individual_ops_match_pil_semantics():
+    rng = np.random.RandomState(2)
+    img_np = rng.randint(0, 256, (32, 32, 3)).astype(np.float32)
+    img = jnp.asarray(img_np)
+    # invert
+    np.testing.assert_allclose(np.asarray(T.op_invert(img, 0.0)), 255 - img_np)
+    # posterize m=10 -> 0 bits -> all zero
+    assert np.asarray(T.op_posterize(img, jnp.float32(10.0))).max() == 0
+    # solarize m=0 -> threshold 256 -> identity
+    np.testing.assert_allclose(np.asarray(T.op_solarize(img, jnp.float32(0.0))), img_np)
+    # brightness factor 1 (m=0) -> identity
+    np.testing.assert_allclose(np.asarray(T.op_brightness(img, jnp.float32(0.0))),
+                               img_np, atol=1e-3)
+    # equalize vs PIL
+    from PIL import Image, ImageOps
+    pil = Image.fromarray(img_np.astype(np.uint8))
+    ref = np.asarray(ImageOps.equalize(pil)).astype(np.float32)
+    ours = np.asarray(T.op_equalize(img, 0.0))
+    np.testing.assert_allclose(ours, ref, atol=1.0)
+    # autocontrast vs PIL
+    ref_ac = np.asarray(ImageOps.autocontrast(pil)).astype(np.float32)
+    ours_ac = np.asarray(T.op_autocontrast(img, 0.0))
+    np.testing.assert_allclose(ours_ac, ref_ac, atol=2.0)
+
+
+def test_random_erasing_stats():
+    clip = jnp.ones((2, 32, 32, 3))
+    erased = 0
+    n = 40
+    for i in range(n):
+        out = np.asarray(T.random_erasing(jax.random.PRNGKey(i), clip, p=0.5))
+        if (out != 1.0).any():
+            erased += 1
+            # cube mode: same block across frames
+            m0 = (out[0] != 1.0).any(-1)
+            m1 = (out[1] != 1.0).any(-1)
+            np.testing.assert_array_equal(m0, m1)
+    assert 5 < erased < 35  # p=0.5 of 40
+
+
+def test_random_resized_crop_shape_and_content():
+    rng = np.random.RandomState(3)
+    clip = jnp.asarray(rng.rand(2, 128, 160, 3).astype(np.float32))
+    out = T.random_resized_crop(jax.random.PRNGKey(0), clip, size=64)
+    assert out.shape == (2, 64, 64, 3)
+    o = np.asarray(out)
+    assert o.min() >= 0 and o.max() <= 1.0
+
+
+def test_hflip():
+    clip = jnp.asarray(np.arange(2 * 4 * 4 * 3, dtype=np.float32).reshape(2, 4, 4, 3))
+    flipped = None
+    for i in range(20):
+        out = np.asarray(T.random_hflip(jax.random.PRNGKey(i), clip))
+        if (out != np.asarray(clip)).any():
+            np.testing.assert_array_equal(out, np.asarray(clip)[:, :, ::-1, :])
+            flipped = True
+    assert flipped
+
+
+def test_loader_and_device_pipeline():
+    ds = SyntheticAVE(n=8, num_frames=2, size=96, label_dim=5)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["frames"].shape == (4, 2, 96, 96, 3)
+    pipe = make_ave_device_pipeline(train=False, image_size=96)
+    a, v = pipe(b)
+    assert v.shape == (4, 2, 96, 96, 3)
+    assert a.shape == (4, 2, 224, 224)
+    assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(v)).all()
+
+    tpipe = make_ave_device_pipeline(train=True, image_size=96)
+    a2, v2 = tpipe(b, jax.random.PRNGKey(0))
+    assert v2.shape == (4, 2, 96, 96, 3)
