@@ -34,6 +34,13 @@ class SwinConfig:
     with_nega_stream: bool = False
     # LayerNorm eps (torch default)
     ln_eps: float = 1e-5
+    # ablation switches (AVS/run_adapt_avs_ablation.sh variants /
+    # Swin_AVSModel_without_adapt.py): disable temporal attention entirely,
+    # or individual adapter branches (T = temporal, S = spatial, G = global/MLP)
+    use_temporal_attn: bool = True
+    use_t_adapter: bool = True
+    use_s_adapter: bool = True
+    use_g_adapter: bool = True
 
     @property
     def num_layers(self) -> int:

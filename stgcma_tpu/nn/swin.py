@@ -49,6 +49,10 @@ class BlockStatic:
     num_frames: int
     adapter_ratio: float
     mode: str
+    # ablation switches (Swin_AVSModel_without_adapt.py variants)
+    use_t_adapter: bool = True
+    use_s_adapter: bool = True
+    use_g_adapter: bool = True
 
     @property
     def tokens_per_window(self) -> int:
@@ -65,9 +69,11 @@ def make_block_static(cfg: SwinConfig, stage: int, block_idx: int, mode: str) ->
         shift = 0
     return BlockStatic(
         dim=cfg.stage_dim(stage), H=H, W=Wd, num_heads=cfg.num_heads[stage],
-        window_size=ws, shift_size=shift, t_attn=(block_idx % 2 == 0),
+        window_size=ws, shift_size=shift,
+        t_attn=(block_idx % 2 == 0) and cfg.use_temporal_attn,
         num_frames=cfg.num_ttokens, adapter_ratio=cfg.adapter_ratios[stage],
-        mode=mode)
+        mode=mode, use_t_adapter=cfg.use_t_adapter,
+        use_s_adapter=cfg.use_s_adapter, use_g_adapter=cfg.use_g_adapter)
 
 
 def _mode_for_ftmode(ftmode: str) -> str:
@@ -132,15 +138,19 @@ def block_init(key, st: BlockStatic, qkv_bias: bool = True) -> Dict[str, Any]:
     audio = st.mode in ("audio_adapt", "multimodal_adapt_no_fusion", "fusion_adapt")
     r = st.adapter_ratio
     if video:
-        if st.t_attn:
+        if st.t_attn and st.use_t_adapter:
             p["T_Adapter"] = adapter_init(ks[6], dim, r)
-        p["S_Adapter"] = adapter_init(ks[7], dim, r)
-        p["S_Adapter2"] = adapter_init(ks[8], dim, r)
+        if st.use_g_adapter:
+            p["S_Adapter"] = adapter_init(ks[7], dim, r)
+        if st.use_s_adapter:
+            p["S_Adapter2"] = adapter_init(ks[8], dim, r)
     if audio:
-        if st.t_attn:
+        if st.t_attn and st.use_t_adapter:
             p["T_Adapter_Audio"] = adapter_init(ks[9], dim, r)
-        p["S_Adapter_Audio"] = adapter_init(ks[10], dim, r)
-        p["S_Adapter2_Audio"] = adapter_init(ks[11], dim, r)
+        if st.use_g_adapter:
+            p["S_Adapter_Audio"] = adapter_init(ks[10], dim, r)
+        if st.use_s_adapter:
+            p["S_Adapter2_Audio"] = adapter_init(ks[11], dim, r)
     return p
 
 
@@ -158,7 +168,8 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
     res = temporal_attention(p["attn"], layernorm(p["norm1"], xt), st.num_heads,
                              t_index, signal=signal)
-    res = adapter_apply(p[adapter_key], res, skip=False)
+    if st.use_t_adapter:
+        res = adapter_apply(p[adapter_key], res, skip=False)
     xt = xt + res
     return xt.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(BT, N, C)
 
@@ -191,11 +202,14 @@ def _single_stream(p, x, st: BlockStatic, signal: str):
     if st.t_attn:
         x = _temporal_branch(p, x, st, signal, "T_Adapter" + sfx)
     attn_w, shortcut = _spatial_windows(p, x, st)
-    attn_w = adapter_apply(p["S_Adapter2" + sfx], attn_w, skip=True)
+    if st.use_s_adapter:
+        attn_w = adapter_apply(p["S_Adapter2" + sfx], attn_w, skip=True)
     x = shortcut + _merge_windows(attn_w, st, x.shape[0])
     xn = layernorm(p["norm2"], x)
-    return x + mlp_apply(p["mlp"], xn) + 0.5 * adapter_apply(p["S_Adapter" + sfx], xn,
-                                                             skip=False)
+    out = x + mlp_apply(p["mlp"], xn)
+    if st.use_g_adapter:
+        out = out + 0.5 * adapter_apply(p["S_Adapter" + sfx], xn, skip=False)
+    return out
 
 
 def _plain_stream(p, x, st: BlockStatic):
@@ -214,10 +228,13 @@ def _dual_no_fusion(p, v, a, st: BlockStatic):
         if st.t_attn:
             x = _temporal_branch(p, x, st, signal, "T_Adapter" + sfx)
         attn_w, shortcut = _spatial_windows(p, x, st)
-        attn_w = adapter_apply(p["S_Adapter2" + sfx], attn_w, skip=True)
+        if st.use_s_adapter:
+            attn_w = adapter_apply(p["S_Adapter2" + sfx], attn_w, skip=True)
         x = shortcut + _merge_windows(attn_w, st, x.shape[0])
         xn = mlp_apply(p["mlp"], layernorm(p["norm2"], x))
-        x = x + xn + adapter_apply(p["S_Adapter" + sfx], xn, skip=False)
+        x = x + xn
+        if st.use_g_adapter:
+            x = x + adapter_apply(p["S_Adapter" + sfx], xn, skip=False)
         out.append(x)
     return out[0], out[1]
 
@@ -235,11 +252,12 @@ def _dual_fusion(p, v, a, st: BlockStatic):
     attn_a, shortcut_a = _spatial_windows(p, a, st)
 
     # spatial STG-CMA over window tokens (Nv == Na == ws*ws per window)
-    vs_h = adapter_hidden(p["S_Adapter2"], attn_v)
-    as_h = adapter_hidden(p["S_Adapter2_Audio"], attn_a)
-    vs_h, as_h = cross_modal_fuse(vs_h, as_h, p["gate_v"], p["gate_a"])
-    attn_v = attn_v + adapter_out(p["S_Adapter2"], vs_h)
-    attn_a = attn_a + adapter_out(p["S_Adapter2_Audio"], as_h)
+    if st.use_s_adapter:
+        vs_h = adapter_hidden(p["S_Adapter2"], attn_v)
+        as_h = adapter_hidden(p["S_Adapter2_Audio"], attn_a)
+        vs_h, as_h = cross_modal_fuse(vs_h, as_h, p["gate_v"], p["gate_a"])
+        attn_v = attn_v + adapter_out(p["S_Adapter2"], vs_h)
+        attn_a = attn_a + adapter_out(p["S_Adapter2_Audio"], as_h)
 
     v = shortcut_v + _merge_windows(attn_v, st, v.shape[0])
     a = shortcut_a + _merge_windows(attn_a, st, a.shape[0])
@@ -247,11 +265,15 @@ def _dual_fusion(p, v, a, st: BlockStatic):
     # joint/global STG-CMA on FFN outputs, token-level over the full stage grid
     vn = mlp_apply(p["mlp"], layernorm(p["norm2"], v))
     an = mlp_apply(p["mlp"], layernorm(p["norm2"], a))
-    vn_h = adapter_hidden(p["S_Adapter"], vn)
-    an_h = adapter_hidden(p["S_Adapter_Audio"], an)
-    vn_h, an_h = cross_modal_fuse(vn_h, an_h, p["gate_v"], p["gate_a"])
-    v = v + vn + adapter_out(p["S_Adapter"], vn_h)
-    a = a + an + adapter_out(p["S_Adapter_Audio"], an_h)
+    if st.use_g_adapter:
+        vn_h = adapter_hidden(p["S_Adapter"], vn)
+        an_h = adapter_hidden(p["S_Adapter_Audio"], an)
+        vn_h, an_h = cross_modal_fuse(vn_h, an_h, p["gate_v"], p["gate_a"])
+        v = v + vn + adapter_out(p["S_Adapter"], vn_h)
+        a = a + an + adapter_out(p["S_Adapter_Audio"], an_h)
+    else:
+        v = v + vn
+        a = a + an
     return v, a
 
 

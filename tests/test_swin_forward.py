@@ -89,3 +89,26 @@ def test_multiscale_taps():
     r0 = cfg.patches_resolution[0]
     assert ms[0].shape[1] == r0 * r0
     assert ms[-1].shape[1] == (r0 // 2 ** (cfg.num_layers - 1)) ** 2
+
+
+@pytest.mark.parametrize("flags", [
+    dict(use_temporal_attn=False, use_t_adapter=False, use_s_adapter=False,
+         use_g_adapter=False),                      # frozen ViT only
+    dict(use_t_adapter=False),                      # temporal attn, no T adapter
+    dict(use_g_adapter=False),                      # spatial+temporal only
+    dict(use_s_adapter=False),                      # temporal+global only
+])
+def test_ablation_variants_run(flags):
+    """AVS ablation switches (run_adapt_avs_ablation.sh variants) compile and
+    produce finite outputs."""
+    cfg = swin_tiny_test(ftmode="fusion", label_dim=5, **flags)
+    params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
+    a, v = _inputs(cfg, B=1)
+    out = ave.apply_swin_ave(params, cfg, a, v)
+    assert np.isfinite(np.asarray(out)).all()
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = [jax.tree_util.keystr(p) for p, _ in flat]
+    if not flags.get("use_s_adapter", True):
+        assert not any("S_Adapter2" in n for n in names)
+    if not flags.get("use_g_adapter", True):
+        assert not any("'S_Adapter'" in n for n in names)
