@@ -1,4 +1,5 @@
 """Round 2 dissection: long scans so compute dominates relay jitter."""
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import functools
 import time
 

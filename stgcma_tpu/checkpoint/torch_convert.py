@@ -502,6 +502,43 @@ def _translate_clip_block_generic(key: str, v, prefix: str):
 
 
 # ---------------------------------------------------------------------------
+# ResNet-18 (grounding_gen visual backbone — torchvision layout)
+# ---------------------------------------------------------------------------
+
+def load_resnet18(params, state_dict, prefix=""):
+    """torchvision resnet18 state_dict -> nn.resnet param tree (fc.* dropped)."""
+    flat: Dict[str, np.ndarray] = {}
+    bn_map = {"weight": "scale", "bias": "bias",
+              "running_mean": "mean", "running_var": "var"}
+    for key, v in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if key.startswith("fc.") or "num_batches_tracked" in key:
+            continue
+        v = _np(v)
+        parts = key.split(".")
+        if key.startswith("conv1."):
+            flat[f"{prefix}conv1/kernel"] = t_conv2d(v)
+        elif key.startswith("bn1."):
+            flat[f"{prefix}bn1/{bn_map[parts[1]]}"] = v
+        elif parts[0].startswith("layer"):
+            layer, blk, mod, leaf = parts[0], parts[1], parts[2], parts[-1]
+            base = f"{prefix}{layer}/{blk}/"
+            if mod.startswith("conv"):
+                flat[f"{base}{mod}/kernel"] = t_conv2d(v)
+            elif mod.startswith("bn"):
+                flat[f"{base}{mod}/{bn_map[leaf]}"] = v
+            elif mod == "downsample":
+                if parts[3] == "0":
+                    flat[f"{base}downsample/conv/kernel"] = t_conv2d(v)
+                else:
+                    flat[f"{base}downsample/bn/{bn_map[leaf]}"] = v
+        else:
+            raise ValueError(f"unhandled resnet key {key}")
+    return merge_into(params, flat)
+
+
+# ---------------------------------------------------------------------------
 # weight averaging (AVE/run_adapt_ave29.py:203-214)
 # ---------------------------------------------------------------------------
 
