@@ -39,8 +39,9 @@ def main():
     @functools.partial(jax.jit, static_argnums=(3,))
     def fwd_many(params, a, v, n):
         def body(carry, _):
+            # carry-perturbed input defeats loop hoisting; cast keeps bf16 compute
             logits = ave.apply_swin_ave(params, cfg,
-                                        a + carry * jnp.bfloat16(1e-8), v)
+                                        a + (carry * 1e-8).astype(jnp.bfloat16), v)
             return logits.astype(jnp.float32).mean() * 1e-6, None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return acc

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..configs import SwinConfig
 from ..ops import window as W
 from ..ops.attention import cross_modal_fuse, temporal_attention, window_attention
+from ..ops.pallas_attn import cross_modal_fuse_flash, fused_attention_enabled
 from ..ops.common import (layernorm, layernorm_init, linear, linear_init,
                           mlp_apply, mlp_init, trunc_normal)
 from ..ops.conv import conv3d, conv3d_init
@@ -166,8 +167,13 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
     B = BT // T
     t_index = jnp.asarray(_StaticCache.t_index(T))
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
-    res = temporal_attention(p["attn"], layernorm(p["norm1"], xt), st.num_heads,
-                             t_index, signal=signal)
+    if fused_attention_enabled():
+        from ..ops.pallas_attn import temporal_attention_fused
+        res = temporal_attention_fused(p["attn"], layernorm(p["norm1"], xt),
+                                       st.num_heads, t_index, signal=signal)
+    else:
+        res = temporal_attention(p["attn"], layernorm(p["norm1"], xt), st.num_heads,
+                                 t_index, signal=signal)
     if st.use_t_adapter:
         res = adapter_apply(p[adapter_key], res, skip=False)
     xt = xt + res
@@ -185,7 +191,11 @@ def _spatial_windows(p, x, st: BlockStatic):
     mask_np = _StaticCache.mask(st.H, st.W, st.window_size, st.shift_size)
     mask = None if mask_np is None else jnp.asarray(mask_np)
     rel = jnp.asarray(_StaticCache.rel_index(st.window_size))
-    attn_w = window_attention(p["attn"], xw, st.num_heads, rel, mask=mask)
+    if fused_attention_enabled():
+        from ..ops.pallas_attn import window_attention_fused
+        attn_w = window_attention_fused(p["attn"], xw, st.num_heads, rel, mask=mask)
+    else:
+        attn_w = window_attention(p["attn"], xw, st.num_heads, rel, mask=mask)
     return attn_w, shortcut
 
 
@@ -268,7 +278,8 @@ def _dual_fusion(p, v, a, st: BlockStatic):
     if st.use_g_adapter:
         vn_h = adapter_hidden(p["S_Adapter"], vn)
         an_h = adapter_hidden(p["S_Adapter_Audio"], an)
-        vn_h, an_h = cross_modal_fuse(vn_h, an_h, p["gate_v"], p["gate_a"])
+        # full-grid cross attention: Pallas row-block kernel for large N
+        vn_h, an_h = cross_modal_fuse_flash(vn_h, an_h, p["gate_v"], p["gate_a"])
         v = v + vn + adapter_out(p["S_Adapter"], vn_h)
         a = a + an + adapter_out(p["S_Adapter_Audio"], an_h)
     else:

@@ -1,0 +1,282 @@
+"""Pallas TPU kernel: unscaled softmax cross-attention, row-block tiled.
+
+The STG-CMA joint/global fusion computes softmax(v_h @ a_h^T) @ a_h over the
+FULL stage token grid (N up to 3136 at Swin stage 0 — Swin_AVE.py:796-811).
+The naive XLA lowering materializes an (B, N, N) fp32 logits tensor (~3 GB at
+stage 0, batch 8), making the block ~75x slower than its FLOPs. This kernel
+keeps each (TQ, Nk) logits row-block in VMEM: one MXU matmul -> masked softmax
+-> one MXU matmul, never touching HBM with logits.
+
+Semantics: out = softmax(q @ k^T, axis=-1) @ v  — NO 1/sqrt(d) scale (the
+reference applies none). Gradient support via custom_vjp with a recomputing
+XLA backward (training keeps reference numerics; forward pass is the hot path
+for serving/eval).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def fused_attention_enabled() -> bool:
+    """Policy: fused Pallas attention on TPU (override with STGCMA_FUSED_ATTN)."""
+    import os
+    env = os.environ.get("STGCMA_FUSED_ATTN")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, nk_real: int):
+    # q: (1, TQ, D), k: (1, NKP, D), v: (1, NKP, DV), o: (1, TQ, DV)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (TQ, NKP)
+    if nk_real != k.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < nk_real, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(o_ref.dtype)
+
+
+def _attn_fwd_pallas(q, k, v, tq: int = 448):
+    """q: (B, Nq, D), k: (B, Nk, D), v: (B, Nk, DV) -> (B, Nq, DV)."""
+    B, Nq, D = q.shape
+    Nk, DV = k.shape[1], v.shape[2]
+    TQ = min(tq, _round_up(Nq, 8))
+    NQP = _round_up(Nq, TQ)
+    NKP = _round_up(Nk, 128)
+    DP = _round_up(D, 128)
+    DVP = _round_up(DV, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, NQP - Nq), (0, DP - D)))
+    kp = jnp.pad(k, ((0, 0), (0, NKP - Nk), (0, DP - D)))
+    vp = jnp.pad(v, ((0, 0), (0, NKP - Nk), (0, DVP - DV)))
+
+    grid = (B, NQP // TQ)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, nk_real=Nk),
+        out_shape=jax.ShapeDtypeStruct((B, NQP, DVP), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TQ, DP), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NKP, DP), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NKP, DVP), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TQ, DVP), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=(jax.default_backend() == "cpu"),
+    )(qp, kp, vp)
+    return out[:, :Nq, :DV]
+
+
+def _attn_ref(q, k, v):
+    """Naive XLA reference (used for backward + small N)."""
+    logits = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bnm,bmd->bnd", p, v)
+
+
+@jax.custom_vjp
+def unscaled_attention(q, k, v):
+    """softmax(q k^T) v with a Pallas forward and recomputing XLA backward."""
+    return _attn_fwd_pallas(q, k, v)
+
+
+def _fwd(q, k, v):
+    return _attn_fwd_pallas(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    q, k, v = res
+    logits = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dv = jnp.einsum("bnm,bnd->bmd", p, gf)
+    dp = jnp.einsum("bnd,bmd->bnm", gf, vf)
+    ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
+    dq = jnp.einsum("bnm,bmd->bnd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bnm,bnd->bmd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+unscaled_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused window attention (W-MSA/SW-MSA)
+# ---------------------------------------------------------------------------
+
+def _wmsa_kernel(q_ref, k_ref, v_ref, bm_ref, o_ref):
+    # q/k/v: (TR, N, dh); bm: (nwh, N, N) fp32 bias(+mask); o: (TR, N, dh)
+    q = q_ref[:]
+    logits = jax.lax.dot_general(q, k_ref[:], (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)  # (TR,N,N)
+    TR, N = q.shape[0], q.shape[1]
+    nwh = bm_ref.shape[0]
+    logits = logits.reshape(TR // nwh, nwh, N, N) + bm_ref[:][None]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(TR, N, N)
+    o_ref[:] = jax.lax.dot_general(p.astype(q.dtype), v_ref[:],
+                                   (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(o_ref.dtype)
+
+
+def _wmsa_pallas(q, k, v, biasmask, rows_per_tile: int = 256):
+    """q/k/v: (R, N, dh) with R = BT * nW * heads (head fastest); biasmask:
+    (nW*heads, N, N) fp32, repeating along R with period nW*heads."""
+    R, N, dh = q.shape
+    nwh = biasmask.shape[0]
+    TR = max(nwh, (rows_per_tile // nwh) * nwh)
+    RP = _round_up(R, TR)
+    if RP != R:
+        pad = ((0, RP - R), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    grid = (RP // TR,)
+    out = pl.pallas_call(
+        _wmsa_kernel,
+        out_shape=jax.ShapeDtypeStruct((RP, N, dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR, N, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, N, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, N, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nwh, N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, N, dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=(jax.default_backend() == "cpu"),
+    )(q, k, v, biasmask)
+    return out[:R]
+
+
+@jax.custom_vjp
+def _wmsa_attention(q, k, v, biasmask):
+    return _wmsa_pallas(q, k, v, biasmask)
+
+
+def _wmsa_ref(q, k, v, biasmask):
+    R, N, _ = q.shape
+    nwh = biasmask.shape[0]
+    logits = jnp.einsum("rnd,rmd->rnm", q, k, preferred_element_type=jnp.float32)
+    logits = logits.reshape(R // nwh, nwh, N, N) + biasmask[None]
+    p = jax.nn.softmax(logits, axis=-1).reshape(R, N, N).astype(q.dtype)
+    return jnp.einsum("rnm,rmd->rnd", p, v)
+
+
+def _wmsa_fwd(q, k, v, biasmask):
+    return _wmsa_pallas(q, k, v, biasmask), (q, k, v, biasmask)
+
+
+def _wmsa_bwd(res, g):
+    q, k, v, biasmask = res
+    R, N, _ = q.shape
+    nwh = biasmask.shape[0]
+    logits = jnp.einsum("rnd,rmd->rnm", q, k, preferred_element_type=jnp.float32)
+    logits = logits.reshape(R // nwh, nwh, N, N) + biasmask[None]
+    p = jax.nn.softmax(logits, axis=-1).reshape(R, N, N)
+    gf, vf = g.astype(jnp.float32), v.astype(jnp.float32)
+    dv = jnp.einsum("rnm,rnd->rmd", p, gf)
+    dp = jnp.einsum("rnd,rmd->rnm", gf, vf)
+    ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
+    dq = jnp.einsum("rnm,rmd->rnd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("rnm,rnd->rmd", ds, q.astype(jnp.float32))
+    dbm = ds.reshape(R // nwh, nwh, N, N).sum(0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbm.astype(biasmask.dtype))
+
+
+_wmsa_attention.defvjp(_wmsa_fwd, _wmsa_bwd)
+
+
+def window_attention_fused(p, x, num_heads: int, rel_index, mask=None):
+    """Fused W-MSA: qkv/proj dense matmuls stay in XLA; the per-window
+    softmax-attention core runs as one Pallas kernel with logits in VMEM
+    (naive XLA materializes (B_, h, N, N) fp32 in HBM — the stage-0 hotspot).
+
+    Drop-in for ops.attention.window_attention (same params/semantics)."""
+    from .common import linear
+    from .attention import gather_bias
+    B_, N, C = x.shape
+    dh = C // num_heads
+    scale = dh ** -0.5
+    qkv = linear(p["qkv"], x)
+    qkv = qkv.reshape(B_, N, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]                     # (B_, h, N, dh)
+    bias = gather_bias(p["relative_position_bias_table"], rel_index,
+                       num_heads, N)                     # (h, N, N) fp32
+    if mask is not None:
+        nW = mask.shape[0]
+        bm = bias[None] + mask[:, None].astype(jnp.float32)   # (nW, h, N, N)
+        bm = bm.reshape(nW * num_heads, N, N)
+    else:
+        bm = bias
+    q = (q * scale).reshape(B_ * num_heads, N, dh)
+    k = k.reshape(B_ * num_heads, N, dh)
+    v = v.reshape(B_ * num_heads, N, dh)
+    out = _wmsa_attention(q, k, v, bm)
+    out = out.reshape(B_, num_heads, N, dh).transpose(0, 2, 1, 3).reshape(B_, N, C)
+    return linear(p["proj"], out)
+
+
+def temporal_attention_fused(p, x, num_heads: int, t_index, signal: str = "video"):
+    """Fused temporal attention (drop-in for ops.attention.temporal_attention):
+    same kernel as W-MSA with rows = B*N*heads and bias (heads, T, T)."""
+    from .attention import gather_bias
+    from .common import linear
+    B_, T, C = x.shape
+    dh = C // num_heads
+    scale = dh ** -0.5
+    key = ("temporal_position_bias_table" if signal == "video"
+           else "temporal_position_bias_table_audio")
+    bias = gather_bias(p[key], t_index, num_heads, T)    # (h, T, T)
+    qkv = linear(p["qkv"], x)
+    qkv = qkv.reshape(B_, T, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    q = (q * scale).reshape(B_ * num_heads, T, dh)
+    k = k.reshape(B_ * num_heads, T, dh)
+    v = v.reshape(B_ * num_heads, T, dh)
+    out = _wmsa_attention(q, k, v, bias)
+    out = out.reshape(B_, num_heads, T, dh).transpose(0, 2, 1, 3).reshape(B_, T, C)
+    return linear(p["proj"], out)
+
+
+def cross_modal_fuse_flash(v_hidden, a_hidden, gate_v, gate_a,
+                           min_tokens: int = 256):
+    """Drop-in for ops.attention.cross_modal_fuse using the Pallas kernel when
+    the token count justifies it (joint/global fusion over full stage grids)."""
+    from .attention import cross_modal_fuse
+    N = v_hidden.shape[1]
+    if N < min_tokens:
+        return cross_modal_fuse(v_hidden, a_hidden, gate_v, gate_a)
+    dt = v_hidden.dtype
+    a2v = unscaled_attention(v_hidden, a_hidden, a_hidden)
+    v2a = unscaled_attention(a_hidden, v_hidden, v_hidden)
+    v_out = v_hidden + gate_v.astype(dt) * a2v
+    a_out = a_hidden + gate_a.astype(dt) * v2a
+    return v_out, a_out

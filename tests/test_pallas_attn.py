@@ -1,0 +1,131 @@
+"""Pallas unscaled cross-attention kernel vs naive XLA reference (interpret
+mode on CPU), including gradient path and the fused STG-CMA wrapper."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stgcma_tpu.ops.attention import cross_modal_fuse
+from stgcma_tpu.ops.pallas_attn import (_attn_ref, cross_modal_fuse_flash,
+                                        unscaled_attention)
+
+
+def test_kernel_matches_reference():
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    B, Nq, Nk, D = 3, 300, 260, 24   # deliberately unaligned sizes
+    q = jax.random.normal(k1, (B, Nq, D)) * 0.3
+    kk = jax.random.normal(k2, (B, Nk, D)) * 0.3
+    v = jax.random.normal(k3, (B, Nk, D))
+    out = unscaled_attention(q, kk, v)
+    ref = _attn_ref(q, kk, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_grad_matches_reference():
+    k = jax.random.PRNGKey(1)
+    B, N, D = 2, 64, 16
+    q = jax.random.normal(k, (B, N, D)) * 0.3
+    kk = jax.random.normal(jax.random.fold_in(k, 1), (B, N, D)) * 0.3
+    v = jax.random.normal(jax.random.fold_in(k, 2), (B, N, D))
+
+    def loss_pallas(q, kk, v):
+        return (unscaled_attention(q, kk, v) ** 2).sum()
+
+    def loss_ref(q, kk, v):
+        return (_attn_ref(q, kk, v) ** 2).sum()
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, kk, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kk, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fuse_flash_matches_naive():
+    k = jax.random.PRNGKey(2)
+    B, N, D = 2, 300, 16
+    vh = jax.random.normal(k, (B, N, D)) * 0.3
+    ah = jax.random.normal(jax.random.fold_in(k, 1), (B, N, D)) * 0.3
+    gv = jnp.asarray([0.7])
+    ga = jnp.asarray([-0.3])
+    v1, a1 = cross_modal_fuse_flash(vh, ah, gv, ga, min_tokens=1)
+    v2, a2 = cross_modal_fuse(vh, ah, gv, ga)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=2e-5, atol=2e-5)
+
+
+def test_window_attention_fused_matches_naive():
+    import stgcma_tpu.ops.window as W
+    from stgcma_tpu.ops.attention import window_attention
+    from stgcma_tpu.ops.pallas_attn import window_attention_fused
+    k = jax.random.PRNGKey(3)
+    B_, N, C, h, nW = 8, 49, 32, 4, 4
+    p = {"qkv": {"kernel": jax.random.normal(k, (C, 3 * C)) * 0.05,
+                 "bias": jnp.zeros((3 * C,))},
+         "proj": {"kernel": jax.random.normal(jax.random.fold_in(k, 1),
+                                              (C, C)) * 0.05,
+                  "bias": jnp.zeros((C,))},
+         "relative_position_bias_table": jax.random.normal(
+             jax.random.fold_in(k, 2), (169, h)) * 0.02}
+    x = jax.random.normal(jax.random.fold_in(k, 3), (B_, N, C))
+    rel = jnp.asarray(W.relative_position_index(7))
+    mask = jnp.where(jax.random.uniform(jax.random.fold_in(k, 4),
+                                        (nW, N, N)) > 0.5, 0.0, -100.0)
+    ref = window_attention(p, x, h, rel, mask=mask)
+    out = window_attention_fused(p, x, h, rel, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # no-mask path
+    ref2 = window_attention(p, x, h, rel)
+    out2 = window_attention_fused(p, x, h, rel)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_window_attention_fused_grad():
+    import stgcma_tpu.ops.window as W
+    from stgcma_tpu.ops.attention import window_attention
+    from stgcma_tpu.ops.pallas_attn import window_attention_fused
+    k = jax.random.PRNGKey(5)
+    B_, N, C, h = 4, 49, 16, 2
+    p = {"qkv": {"kernel": jax.random.normal(k, (C, 3 * C)) * 0.05,
+                 "bias": jnp.zeros((3 * C,))},
+         "proj": {"kernel": jax.random.normal(jax.random.fold_in(k, 1),
+                                              (C, C)) * 0.05,
+                  "bias": jnp.zeros((C,))},
+         "relative_position_bias_table": jax.random.normal(
+             jax.random.fold_in(k, 2), (169, h)) * 0.02}
+    x = jax.random.normal(jax.random.fold_in(k, 3), (B_, N, C))
+    rel = jnp.asarray(W.relative_position_index(7))
+    g1 = jax.grad(lambda p, x: (window_attention_fused(p, x, h, rel) ** 2).sum(),
+                  argnums=(0, 1))(p, x)
+    g2 = jax.grad(lambda p, x: (window_attention(p, x, h, rel) ** 2).sum(),
+                  argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_temporal_attention_fused_matches_naive():
+    import stgcma_tpu.ops.window as W
+    from stgcma_tpu.ops.attention import temporal_attention
+    from stgcma_tpu.ops.pallas_attn import temporal_attention_fused
+    k = jax.random.PRNGKey(6)
+    B_, T, C, h = 12, 10, 32, 4
+    p = {"qkv": {"kernel": jax.random.normal(k, (C, 3 * C)) * 0.05,
+                 "bias": jnp.zeros((3 * C,))},
+         "proj": {"kernel": jax.random.normal(jax.random.fold_in(k, 1),
+                                              (C, C)) * 0.05,
+                  "bias": jnp.zeros((C,))},
+         "temporal_position_bias_table": jax.random.normal(
+             jax.random.fold_in(k, 2), (2 * T - 1, h)) * 0.02,
+         "temporal_position_bias_table_audio": jax.random.normal(
+             jax.random.fold_in(k, 7), (2 * T - 1, h)) * 0.02}
+    x = jax.random.normal(jax.random.fold_in(k, 3), (B_, T, C))
+    t_index = jnp.asarray(W.temporal_relative_index(T))
+    for signal in ("video", "audio"):
+        ref = temporal_attention(p, x, h, t_index, signal=signal)
+        out = temporal_attention_fused(p, x, h, t_index, signal=signal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
