@@ -41,6 +41,9 @@ class SwinConfig:
     use_t_adapter: bool = True
     use_s_adapter: bool = True
     use_g_adapter: bool = True
+    # per-block rematerialization (jax.checkpoint) — the reference plumbs
+    # use_checkpoint=False through BasicLayer (Swin_AVE.py:1047-1052)
+    use_checkpoint: bool = False
 
     @property
     def num_layers(self) -> int:

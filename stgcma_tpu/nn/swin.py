@@ -371,7 +371,11 @@ def _run_layers(params, cfg: SwinConfig, statics, x, collect_multiscale=False):
     multi_scale = []
     for s, layer in enumerate(params["layers"]):
         for i, bp in enumerate(layer["blocks"]):
-            x = block_apply(bp, x, statics[s][i])
+            if cfg.use_checkpoint:
+                import functools as _ft
+                x = jax.checkpoint(_ft.partial(block_apply, st=statics[s][i]))(bp, x)
+            else:
+                x = block_apply(bp, x, statics[s][i])
         if collect_multiscale:
             v_tap = x[0] if isinstance(x, tuple) else x
             if s == cfg.num_layers - 1:

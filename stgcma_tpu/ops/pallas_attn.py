@@ -54,7 +54,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, nk_real: int):
                                    ).astype(o_ref.dtype)
 
 
-def _attn_fwd_pallas(q, k, v, tq: int = 448):
+def _attn_fwd_pallas(q, k, v, tq: int = 256):
     """q: (B, Nq, D), k: (B, Nk, D), v: (B, Nk, DV) -> (B, Nq, DV)."""
     B, Nq, D = q.shape
     Nk, DV = k.shape[1], v.shape[2]
@@ -83,6 +83,8 @@ def _attn_fwd_pallas(q, k, v, tq: int = 448):
         ],
         out_specs=pl.BlockSpec((1, TQ, DVP), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(qp, kp, vp)
     return out[:, :Nq, :DV]
@@ -126,8 +128,8 @@ unscaled_attention.defvjp(_fwd, _bwd)
 # fused window attention (W-MSA/SW-MSA)
 # ---------------------------------------------------------------------------
 
-def _wmsa_kernel(q_ref, k_ref, v_ref, bm_ref, o_ref):
-    # q/k/v: (TR, N, dh); bm: (nwh, N, N) fp32 bias(+mask); o: (TR, N, dh)
+def _wmsa_kernel_small_bias(q_ref, k_ref, v_ref, bm_ref, o_ref):
+    # q/k/v: (TR, N, dh); bm: (nwh, N, N) with nwh dividing TR
     q = q_ref[:]
     logits = jax.lax.dot_general(q, k_ref[:], (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)  # (TR,N,N)
@@ -143,19 +145,46 @@ def _wmsa_kernel(q_ref, k_ref, v_ref, bm_ref, o_ref):
                                    ).astype(o_ref.dtype)
 
 
-def _wmsa_pallas(q, k, v, biasmask, rows_per_tile: int = 256):
+def _wmsa_kernel_blocked_bias(q_ref, k_ref, v_ref, bm_ref, o_ref):
+    # bm block already aligned to the row tile: (TR, N, N)
+    q = q_ref[:]
+    logits = jax.lax.dot_general(q, k_ref[:], (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    logits = logits + bm_ref[:]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[:] = jax.lax.dot_general(p.astype(q.dtype), v_ref[:],
+                                   (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(o_ref.dtype)
+
+
+def _wmsa_pallas(q, k, v, biasmask, rows_per_tile: int = 128):
     """q/k/v: (R, N, dh) with R = BT * nW * heads (head fastest); biasmask:
     (nW*heads, N, N) fp32, repeating along R with period nW*heads."""
     R, N, dh = q.shape
     nwh = biasmask.shape[0]
-    TR = max(nwh, (rows_per_tile // nwh) * nwh)
+    if nwh <= rows_per_tile:
+        TR = max(nwh, (rows_per_tile // nwh) * nwh)
+        kern = _wmsa_kernel_small_bias
+        bias_spec = pl.BlockSpec((nwh, N, N), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        assert nwh % rows_per_tile == 0, (nwh, rows_per_tile)
+        TR = rows_per_tile
+        kern = _wmsa_kernel_blocked_bias
+        n_bias_blocks = nwh // TR
+        bias_spec = pl.BlockSpec((TR, N, N),
+                                 lambda i, nb=n_bias_blocks: (i % nb, 0, 0),
+                                 memory_space=pltpu.VMEM)
     RP = _round_up(R, TR)
     if RP != R:
         pad = ((0, RP - R), (0, 0), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     grid = (RP // TR,)
     out = pl.pallas_call(
-        _wmsa_kernel,
+        kern,
         out_shape=jax.ShapeDtypeStruct((RP, N, dh), q.dtype),
         grid=grid,
         in_specs=[
@@ -165,11 +194,12 @@ def _wmsa_pallas(q, k, v, biasmask, rows_per_tile: int = 256):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, N, dh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nwh, N, N), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            bias_spec,
         ],
         out_specs=pl.BlockSpec((TR, N, dh), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(q, k, v, biasmask)
     return out[:R]

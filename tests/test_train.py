@@ -129,3 +129,23 @@ def test_ave_loss_matches_torch_ce():
     ours = float(losses.ave_loss(jnp.asarray(logits.numpy()),
                                  jnp.asarray(labels.numpy().reshape(4, 5, 29))))
     assert abs(ref - ours) < 1e-5
+
+
+def test_gradient_checkpointing_matches():
+    """use_checkpoint=True must not change values or gradients."""
+    cfg0 = swin_tiny_test(ftmode="fusion", label_dim=5)
+    cfg1 = swin_tiny_test(ftmode="fusion", label_dim=5, use_checkpoint=True)
+    params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg0)
+    k = jax.random.PRNGKey(1)
+    v = jax.random.normal(k, (1, cfg0.num_frames, cfg0.img_size, cfg0.img_size, 3))
+    a = jax.random.normal(k, (1, cfg0.num_frames, cfg0.img_size, cfg0.img_size))
+
+    def loss(p, cfg):
+        return (ave.apply_swin_ave(p, cfg, a, v) ** 2).mean()
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, cfg0))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, cfg1))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
