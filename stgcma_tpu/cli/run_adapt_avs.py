@@ -48,6 +48,11 @@ def parse_args(argv=None):
     p.add_argument("--save_mask_dir", default="")
     p.add_argument("--synthetic", type=str2bool, default=False)
     p.add_argument("--tiny", type=str2bool, default=False)
+    # ablation switches (AVS/run_adapt_avs_ablation.sh variants)
+    p.add_argument("--use_temporal_attn", type=str2bool, default=True)
+    p.add_argument("--use_t_adapter", type=str2bool, default=True)
+    p.add_argument("--use_s_adapter", type=str2bool, default=True)
+    p.add_argument("--use_g_adapter", type=str2bool, default=True)
     return p.parse_args(argv)
 
 
@@ -70,15 +75,19 @@ class SyntheticAVS:
 
 
 def build(args):
+    abl = dict(use_temporal_attn=args.use_temporal_attn,
+               use_t_adapter=args.use_t_adapter,
+               use_s_adapter=args.use_s_adapter,
+               use_g_adapter=args.use_g_adapter)
     if args.tiny:
-        cfg = swin_tiny_test(ftmode="fusion", num_frames=args.num_frames)
+        cfg = swin_tiny_test(ftmode="fusion", num_frames=args.num_frames, **abl)
         hcfg = AVSHeadConfig(stage_dims=(cfg.embed_dim, cfg.embed_dim * 2),
                              stage_resolutions=(14, 7), vis_dim=(64, 128),
                              tpavi_stages=(0, 1), audio_dim=cfg.num_features,
                              num_frames=args.num_frames)
     else:
         mk = swin_base if args.model.endswith("Base") else swin_large
-        cfg = mk(ftmode="fusion", num_frames=args.num_frames,
+        cfg = mk(ftmode="fusion", num_frames=args.num_frames, **abl,
                  **({"adapter_ratios": tuple(args.adapter_ratios)}
                     if args.adapter_ratios else {}))
         hcfg = AVSHeadConfig(stage_dims=tuple(cfg.stage_dim(i) for i in range(4)),

@@ -311,6 +311,26 @@ def random_erasing(rng, clip, p: float = 0.25, scale=(0.02, 1. / 3.),
     return jnp.where(do & inside, noise, clip)
 
 
+def mixup_batch(rng, waves, frames, labels, mixup_prob: float = 0.5,
+                alpha: float = 10.0):
+    """AVE-style mixup (AVE/dataloader.py:204-272, 487-522): per-sample
+    Beta(10,10) lambda mixes the raw waveform, the frames, and the one-hot
+    labels with a random partner (batch roll); applied with prob `mixup_prob`.
+
+    waves: (B, T, L); frames: (B, T, H, W, C) float; labels: (B, T, C)."""
+    B = waves.shape[0]
+    k1, k2 = jax.random.split(rng)
+    lam = jax.random.beta(k1, alpha, alpha, (B,))
+    do = jax.random.bernoulli(k2, mixup_prob, (B,))
+    lam = jnp.where(do, lam, 1.0)
+
+    def mix(x):
+        l = lam.reshape((B,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+        return l * x + (1 - l) * jnp.roll(x, 1, axis=0)
+
+    return mix(waves), mix(frames), mix(labels)
+
+
 def train_transform(rng, clip_uint8, size: int = 224, magnitude: float = 7.0,
                     num_layers: int = 4):
     """Full reference train-time pipeline on a packed clip

@@ -118,3 +118,18 @@ def test_loader_and_device_pipeline():
     tpipe = make_ave_device_pipeline(train=True, image_size=96)
     a2, v2 = tpipe(b, jax.random.PRNGKey(0))
     assert v2.shape == (4, 2, 96, 96, 3)
+
+
+def test_mixup_batch():
+    k = jax.random.PRNGKey(0)
+    B, Tn = 4, 2
+    waves = jnp.asarray(np.random.RandomState(0).randn(B, Tn, 100), jnp.float32)
+    frames = jnp.asarray(np.random.RandomState(1).rand(B, Tn, 8, 8, 3), jnp.float32)
+    labels = jax.nn.one_hot(jnp.arange(B)[:, None].repeat(Tn, 1) % 3, 3)
+    w, f, l = T.mixup_batch(k, waves, frames, labels, mixup_prob=1.0)
+    assert w.shape == waves.shape and f.shape == frames.shape
+    # labels become convex combinations: rows sum to 1
+    np.testing.assert_allclose(np.asarray(l.sum(-1)), 1.0, rtol=1e-5)
+    # prob=0 -> identity
+    w0, f0, l0 = T.mixup_batch(k, waves, frames, labels, mixup_prob=0.0)
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(waves))
