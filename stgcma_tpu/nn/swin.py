@@ -222,44 +222,52 @@ def _single_stream(p, x, st: BlockStatic, signal: str):
     return out
 
 
-def _plain_stream(p, x, st: BlockStatic):
-    """AVQA v_nega path: frozen attention + FFN, no adapters, no temporal attn
-    (Swin_AVQAModel_V1.py:752-905 'newly added Dec 1' lines)."""
-    attn_w, shortcut = _spatial_windows(p, x, st)
-    x = shortcut + _merge_windows(attn_w, st, x.shape[0])
-    return x + mlp_apply(p["mlp"], layernorm(p["norm2"], x))
-
-
 def _dual_no_fusion(p, v, a, st: BlockStatic):
     """multimodal_adapt_no_fusion (Swin_AVE.py:490-591). NOTE the FFN adapter here
     operates on the MLP *output* without the 0.5 factor, unlike video_adapt."""
-    out = []
-    for x, sfx, signal in ((v, "", "video"), (a, "_Audio", "audio")):
-        if st.t_attn:
-            x = _temporal_branch(p, x, st, signal, "T_Adapter" + sfx)
-        attn_w, shortcut = _spatial_windows(p, x, st)
-        if st.use_s_adapter:
-            attn_w = adapter_apply(p["S_Adapter2" + sfx], attn_w, skip=True)
-        x = shortcut + _merge_windows(attn_w, st, x.shape[0])
-        xn = mlp_apply(p["mlp"], layernorm(p["norm2"], x))
-        x = x + xn
-        if st.use_g_adapter:
-            x = x + adapter_apply(p["S_Adapter" + sfx], xn, skip=False)
-        out.append(x)
-    return out[0], out[1]
+    if st.t_attn:
+        v = _temporal_branch(p, v, st, "video", "T_Adapter")
+        a = _temporal_branch(p, a, st, "audio", "T_Adapter_Audio")
+    BT = v.shape[0]
+    x2 = jnp.concatenate([v, a], axis=0)  # shared-weight tower runs once
+    attn2, shortcut2 = _spatial_windows(p, x2, st)
+    if st.use_s_adapter:
+        half = attn2.shape[0] // 2
+        attn2 = jnp.concatenate(
+            [adapter_apply(p["S_Adapter2"], attn2[:half], skip=True),
+             adapter_apply(p["S_Adapter2_Audio"], attn2[half:], skip=True)], axis=0)
+    x2 = shortcut2 + _merge_windows(attn2, st, 2 * BT)
+    n2 = mlp_apply(p["mlp"], layernorm(p["norm2"], x2))
+    x2 = x2 + n2
+    if st.use_g_adapter:
+        v = x2[:BT] + adapter_apply(p["S_Adapter"], n2[:BT], skip=False)
+        a = x2[BT:] + adapter_apply(p["S_Adapter_Audio"], n2[BT:], skip=False)
+    else:
+        v, a = x2[:BT], x2[BT:]
+    return v, a
 
 
-def _dual_fusion(p, v, a, st: BlockStatic):
+def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
     """fusion_adapt — the STG-CMA core (Swin_AVE.py:693-813):
     temporal attn per modality, W-MSA per modality, bidirectional cross-modal
     attention on spatial-adapter hiddens (gated), window merge, then the same
-    exchange on FFN ("joint/global") adapter hiddens."""
+    exchange on FFN ("joint/global") adapter hiddens.
+
+    TPU restructure (numerics-identical): all shared-weight ops (LN, W-MSA,
+    FFN) run ONCE on the concatenated [v; a(; nega)] batch — the frozen tower
+    weights are common to both modalities; only adapters/fusion act per-stream.
+    """
     if st.t_attn:
         v = _temporal_branch(p, v, st, "video", "T_Adapter")
         a = _temporal_branch(p, a, st, "audio", "T_Adapter_Audio")
 
-    attn_v, shortcut_v = _spatial_windows(p, v, st)
-    attn_a, shortcut_a = _spatial_windows(p, a, st)
+    BT = v.shape[0]
+    streams = [v, a] + ([nega] if nega is not None else [])
+    ns = len(streams)
+    x2 = jnp.concatenate(streams, axis=0)
+    attn2, shortcut2 = _spatial_windows(p, x2, st)
+    nwrows = attn2.shape[0] // ns
+    attn_v, attn_a = attn2[:nwrows], attn2[nwrows:2 * nwrows]
 
     # spatial STG-CMA over window tokens (Nv == Na == ws*ws per window)
     if st.use_s_adapter:
@@ -269,12 +277,16 @@ def _dual_fusion(p, v, a, st: BlockStatic):
         attn_v = attn_v + adapter_out(p["S_Adapter2"], vs_h)
         attn_a = attn_a + adapter_out(p["S_Adapter2_Audio"], as_h)
 
-    v = shortcut_v + _merge_windows(attn_v, st, v.shape[0])
-    a = shortcut_a + _merge_windows(attn_a, st, a.shape[0])
+    if nega is not None:
+        attn2 = jnp.concatenate([attn_v, attn_a, attn2[2 * nwrows:]], axis=0)
+    else:
+        attn2 = jnp.concatenate([attn_v, attn_a], axis=0)
+    x2 = shortcut2 + _merge_windows(attn2, st, ns * BT)
 
-    # joint/global STG-CMA on FFN outputs, token-level over the full stage grid
-    vn = mlp_apply(p["mlp"], layernorm(p["norm2"], v))
-    an = mlp_apply(p["mlp"], layernorm(p["norm2"], a))
+    # FFN on the shared tower, then joint/global STG-CMA per modality
+    n2 = mlp_apply(p["mlp"], layernorm(p["norm2"], x2))
+    v, a = x2[:BT], x2[BT:2 * BT]
+    vn, an = n2[:BT], n2[BT:2 * BT]
     if st.use_g_adapter:
         vn_h = adapter_hidden(p["S_Adapter"], vn)
         an_h = adapter_hidden(p["S_Adapter_Audio"], an)
@@ -285,6 +297,10 @@ def _dual_fusion(p, v, a, st: BlockStatic):
     else:
         v = v + vn
         a = a + an
+    if nega is not None:
+        # plain stream: x + FFN only (Swin_AVQAModel_V1.py v_nega path)
+        ng = x2[2 * BT:] + n2[2 * BT:]
+        return v, a, ng
     return v, a
 
 
@@ -299,10 +315,7 @@ def block_apply(p, x, st: BlockStatic):
         return _dual_no_fusion(p, v, a, st)
     if st.mode == "fusion_adapt":
         if len(x) == 3:
-            v, a, v_nega = x
-            v_nega = _plain_stream(p, v_nega, st)
-            v, a = _dual_fusion(p, v, a, st)
-            return (v, a, v_nega)
+            return _dual_fusion(p, x[0], x[1], st, nega=x[2])
         v, a = x
         return _dual_fusion(p, v, a, st)
     raise ValueError(f"unknown mode {st.mode}")
