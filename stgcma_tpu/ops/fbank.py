@@ -171,6 +171,49 @@ def fbank_image(waveform: jnp.ndarray, cfg: FbankConfig, target_length: int,
     return fb
 
 
+@functools.lru_cache(maxsize=2)
+def _vggish_mel_matrix(num_bins=64, padded=512, sf=16000.0, fmin=125.0,
+                       fmax=7500.0):
+    """VGGish mel matrix: HTK mel scale (2595 log10), spectrogram-bin centers,
+    triangular weights (torchvggish mel_features.spectrogram_to_mel_matrix)."""
+    def htk_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    n_spec = padded // 2 + 1
+    spec_hz = np.linspace(0.0, sf / 2, n_spec)
+    spec_mel = htk_mel(spec_hz)
+    band_edges = np.linspace(htk_mel(fmin), htk_mel(fmax), num_bins + 2)
+    mat = np.zeros((n_spec, num_bins))
+    for i in range(num_bins):
+        lo, c, hi = band_edges[i: i + 3]
+        lower = (spec_mel - lo) / (c - lo)
+        upper = (hi - spec_mel) / (hi - c)
+        mat[:, i] = np.maximum(0.0, np.minimum(lower, upper))
+    mat[0, :] = 0.0  # DC bin excluded
+    return mat.astype(np.float32)
+
+
+def vggish_log_mel(waveform: jnp.ndarray) -> jnp.ndarray:
+    """VGGish log-mel examples: 0.96 s -> (96, 64) with 25 ms hann frames,
+    10 ms hop, magnitude STFT, HTK mel 125-7500 Hz, log(mel + 0.01).
+    (torchvggish input pipeline used by AVS/preprocess_s4.py to build the
+    audio_log_mel pickles.) waveform: (..., L) -> (..., m, 64)."""
+    L = waveform.shape[-1]
+    ws, hop, padded = 400, 160, 512
+    m = 1 + (L - ws) // hop
+    lead = waveform.shape[:-1]
+    x = waveform.reshape((-1, L)).astype(jnp.float32)
+    idx = (np.arange(m)[:, None] * hop + np.arange(ws)[None, :]).reshape(-1)
+    frames = jnp.take(x, jnp.asarray(idx), axis=-1).reshape(-1, m, ws)
+    window = jnp.asarray(0.5 - 0.5 * np.cos(
+        2 * np.pi * np.arange(ws) / ws).astype(np.float32))  # periodic hann
+    frames = frames * window
+    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, padded - ws)))
+    mag = jnp.abs(jnp.fft.rfft(frames, axis=-1))
+    mel = mag @ jnp.asarray(_vggish_mel_matrix())
+    out = jnp.log(mel + 0.01)
+    return out.reshape(lead + (m, 64))
+
+
 def segment_starts(num_samples: int, segment_samples: int, num_segments: int,
                    margin: float = 0.1, sample_rate: int = 16000) -> np.ndarray:
     """Per-segment start indices replicating the reference's linspace slicing:
