@@ -225,49 +225,40 @@ def _single_stream(p, x, st: BlockStatic, signal: str):
 def _dual_no_fusion(p, v, a, st: BlockStatic):
     """multimodal_adapt_no_fusion (Swin_AVE.py:490-591). NOTE the FFN adapter here
     operates on the MLP *output* without the 0.5 factor, unlike video_adapt."""
-    if st.t_attn:
-        v = _temporal_branch(p, v, st, "video", "T_Adapter")
-        a = _temporal_branch(p, a, st, "audio", "T_Adapter_Audio")
-    BT = v.shape[0]
-    x2 = jnp.concatenate([v, a], axis=0)  # shared-weight tower runs once
-    attn2, shortcut2 = _spatial_windows(p, x2, st)
-    if st.use_s_adapter:
-        half = attn2.shape[0] // 2
-        attn2 = jnp.concatenate(
-            [adapter_apply(p["S_Adapter2"], attn2[:half], skip=True),
-             adapter_apply(p["S_Adapter2_Audio"], attn2[half:], skip=True)], axis=0)
-    x2 = shortcut2 + _merge_windows(attn2, st, 2 * BT)
-    n2 = mlp_apply(p["mlp"], layernorm(p["norm2"], x2))
-    x2 = x2 + n2
-    if st.use_g_adapter:
-        v = x2[:BT] + adapter_apply(p["S_Adapter"], n2[:BT], skip=False)
-        a = x2[BT:] + adapter_apply(p["S_Adapter_Audio"], n2[BT:], skip=False)
-    else:
-        v, a = x2[:BT], x2[BT:]
-    return v, a
+    out = []
+    for x, sfx, signal in ((v, "", "video"), (a, "_Audio", "audio")):
+        if st.t_attn:
+            x = _temporal_branch(p, x, st, signal, "T_Adapter" + sfx)
+        attn_w, shortcut = _spatial_windows(p, x, st)
+        if st.use_s_adapter:
+            attn_w = adapter_apply(p["S_Adapter2" + sfx], attn_w, skip=True)
+        x = shortcut + _merge_windows(attn_w, st, x.shape[0])
+        xn = mlp_apply(p["mlp"], layernorm(p["norm2"], x))
+        x = x + xn
+        if st.use_g_adapter:
+            x = x + adapter_apply(p["S_Adapter" + sfx], xn, skip=False)
+        out.append(x)
+    return out[0], out[1]
 
 
 def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
     """fusion_adapt — the STG-CMA core (Swin_AVE.py:693-813):
     temporal attn per modality, W-MSA per modality, bidirectional cross-modal
     attention on spatial-adapter hiddens (gated), window merge, then the same
-    exchange on FFN ("joint/global") adapter hiddens.
+    exchange on FFN ("joint/global") adapter hiddens. The optional `nega`
+    stream passes through the frozen tower with no adapters
+    (Swin_AVQAModel_V1.py v_nega path).
 
-    TPU restructure (numerics-identical): all shared-weight ops (LN, W-MSA,
-    FFN) run ONCE on the concatenated [v; a(; nega)] batch — the frozen tower
-    weights are common to both modalities; only adapters/fusion act per-stream.
+    NOTE: a concatenated-modality variant (one tower pass on [v; a]) measured
+    ~8% slower on v5e — the concat/split HBM copies outweigh the launch savings
+    — so streams stay separate.
     """
     if st.t_attn:
         v = _temporal_branch(p, v, st, "video", "T_Adapter")
         a = _temporal_branch(p, a, st, "audio", "T_Adapter_Audio")
 
-    BT = v.shape[0]
-    streams = [v, a] + ([nega] if nega is not None else [])
-    ns = len(streams)
-    x2 = jnp.concatenate(streams, axis=0)
-    attn2, shortcut2 = _spatial_windows(p, x2, st)
-    nwrows = attn2.shape[0] // ns
-    attn_v, attn_a = attn2[:nwrows], attn2[nwrows:2 * nwrows]
+    attn_v, shortcut_v = _spatial_windows(p, v, st)
+    attn_a, shortcut_a = _spatial_windows(p, a, st)
 
     # spatial STG-CMA over window tokens (Nv == Na == ws*ws per window)
     if st.use_s_adapter:
@@ -277,16 +268,12 @@ def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
         attn_v = attn_v + adapter_out(p["S_Adapter2"], vs_h)
         attn_a = attn_a + adapter_out(p["S_Adapter2_Audio"], as_h)
 
-    if nega is not None:
-        attn2 = jnp.concatenate([attn_v, attn_a, attn2[2 * nwrows:]], axis=0)
-    else:
-        attn2 = jnp.concatenate([attn_v, attn_a], axis=0)
-    x2 = shortcut2 + _merge_windows(attn2, st, ns * BT)
+    v = shortcut_v + _merge_windows(attn_v, st, v.shape[0])
+    a = shortcut_a + _merge_windows(attn_a, st, a.shape[0])
 
-    # FFN on the shared tower, then joint/global STG-CMA per modality
-    n2 = mlp_apply(p["mlp"], layernorm(p["norm2"], x2))
-    v, a = x2[:BT], x2[BT:2 * BT]
-    vn, an = n2[:BT], n2[BT:2 * BT]
+    # joint/global STG-CMA on FFN outputs, token-level over the full stage grid
+    vn = mlp_apply(p["mlp"], layernorm(p["norm2"], v))
+    an = mlp_apply(p["mlp"], layernorm(p["norm2"], a))
     if st.use_g_adapter:
         vn_h = adapter_hidden(p["S_Adapter"], vn)
         an_h = adapter_hidden(p["S_Adapter_Audio"], an)
@@ -297,9 +284,11 @@ def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
     else:
         v = v + vn
         a = a + an
+
     if nega is not None:
-        # plain stream: x + FFN only (Swin_AVQAModel_V1.py v_nega path)
-        ng = x2[2 * BT:] + n2[2 * BT:]
+        ng_attn, ng_short = _spatial_windows(p, nega, st)
+        ng = ng_short + _merge_windows(ng_attn, st, nega.shape[0])
+        ng = ng + mlp_apply(p["mlp"], layernorm(p["norm2"], ng))
         return v, a, ng
     return v, a
 
