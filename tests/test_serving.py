@@ -1,0 +1,39 @@
+"""Multi-task server: shared frozen tower aliasing + per-task dispatch."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stgcma_tpu.configs import AVSHeadConfig, swin_tiny_test
+from stgcma_tpu.models import ave, avs
+from stgcma_tpu.serving import MultiTaskServer, share_frozen_tower
+
+
+def test_share_frozen_tower_aliases_buffers():
+    cfg = swin_tiny_test(ftmode="fusion", num_frames=2)
+    p_ave = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
+    hcfg = AVSHeadConfig(stage_dims=(16, 32), stage_resolutions=(14, 7),
+                         vis_dim=(64, 128), tpavi_stages=(0,),
+                         audio_dim=32, num_frames=2)
+    p_avs = avs.init_avs(jax.random.PRNGKey(1), cfg, hcfg)
+
+    shared = share_frozen_tower(p_ave, {"avs": p_avs})
+    q_canon = p_ave["backbone"]["layers"][0]["blocks"][0]["attn"]["qkv"]["kernel"]
+    q_avs = shared["avs"]["backbone"]["layers"][0]["blocks"][0]["attn"]["qkv"]["kernel"]
+    assert q_avs is q_canon  # same buffer — zero extra HBM
+    # adapters stay task-specific
+    a_canon = p_ave["backbone"]["layers"][0]["blocks"][0]["S_Adapter"]["D_fc1"]["kernel"]
+    a_avs = shared["avs"]["backbone"]["layers"][0]["blocks"][0]["S_Adapter"]["D_fc1"]["kernel"]
+    assert a_avs is not a_canon
+
+
+def test_server_dispatch():
+    cfg = swin_tiny_test(ftmode="fusion", num_frames=2)
+    p_ave = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
+    srv = MultiTaskServer(dtype=jnp.float32)
+    srv.add_ave("ave29", cfg, p_ave)
+    B = 1
+    batch = {"a": np.random.randn(B, 2, cfg.img_size, cfg.img_size).astype(np.float32),
+             "v": np.random.randn(B, 2, cfg.img_size, cfg.img_size, 3).astype(np.float32)}
+    out = srv.predict("ave29", batch)
+    assert out.shape == (B * 2, cfg.label_dim)
+    assert srv.tasks() == ["ave29"]
