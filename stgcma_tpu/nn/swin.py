@@ -181,21 +181,29 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
 
 
 def _spatial_windows(p, x, st: BlockStatic):
-    """LN -> shift -> partition -> W-MSA. Returns (attn_windows, shortcut)."""
+    """LN -> shift -> partition -> W-MSA. Returns (attn_windows, shortcut).
+
+    Fused path: LN commutes with the (position-wise) window partition, so the
+    megakernel runs LN + qkv + attention + proj in one VMEM pass per tile."""
     BT, L, C = x.shape
     shortcut = x
-    xn = layernorm(p["norm1"], x).reshape(BT, st.H, st.W, C)
-    if st.shift_size > 0:
-        xn = jnp.roll(xn, (-st.shift_size, -st.shift_size), axis=(1, 2))
-    xw = W.window_partition(xn, st.window_size)
     mask_np = _StaticCache.mask(st.H, st.W, st.window_size, st.shift_size)
     mask = None if mask_np is None else jnp.asarray(mask_np)
     rel = jnp.asarray(_StaticCache.rel_index(st.window_size))
     if fused_attention_enabled():
-        from ..ops.pallas_attn import window_attention_fused
-        attn_w = window_attention_fused(p["attn"], xw, st.num_heads, rel, mask=mask)
-    else:
-        attn_w = window_attention(p["attn"], xw, st.num_heads, rel, mask=mask)
+        from ..ops.pallas_attn import window_block_megakernel
+        xr = x.reshape(BT, st.H, st.W, C)
+        if st.shift_size > 0:
+            xr = jnp.roll(xr, (-st.shift_size, -st.shift_size), axis=(1, 2))
+        xw = W.window_partition(xr, st.window_size)
+        attn_w = window_block_megakernel(p["attn"], p["norm1"], xw,
+                                         st.num_heads, rel, mask=mask)
+        return attn_w, shortcut
+    xn = layernorm(p["norm1"], x).reshape(BT, st.H, st.W, C)
+    if st.shift_size > 0:
+        xn = jnp.roll(xn, (-st.shift_size, -st.shift_size), axis=(1, 2))
+    xw = W.window_partition(xn, st.window_size)
+    attn_w = window_attention(p["attn"], xw, st.num_heads, rel, mask=mask)
     return attn_w, shortcut
 
 

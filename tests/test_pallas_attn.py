@@ -129,3 +129,44 @@ def test_temporal_attention_fused_matches_naive():
         out = temporal_attention_fused(p, x, h, t_index, signal=signal)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_window_block_megakernel_matches_naive():
+    """LN+W-MSA+proj megakernel vs the composed naive path, fwd + grad."""
+    from stgcma_tpu.ops.attention import window_attention
+    from stgcma_tpu.ops.common import layernorm
+    from stgcma_tpu.ops.pallas_attn import window_block_megakernel
+    import stgcma_tpu.ops.window as W
+    k = jax.random.PRNGKey(9)
+    B_, N, C, h, nW = 8, 49, 32, 4, 4
+    p = {"qkv": {"kernel": jax.random.normal(k, (C, 3 * C)) * 0.05,
+                 "bias": jax.random.normal(jax.random.fold_in(k, 8), (3 * C,)) * .01},
+         "proj": {"kernel": jax.random.normal(jax.random.fold_in(k, 1),
+                                              (C, C)) * 0.05,
+                  "bias": jax.random.normal(jax.random.fold_in(k, 9), (C,)) * .01},
+         "relative_position_bias_table": jax.random.normal(
+             jax.random.fold_in(k, 2), (169, h)) * 0.02}
+    ln = {"scale": 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(k, 4), (C,)),
+          "bias": 0.1 * jax.random.normal(jax.random.fold_in(k, 5), (C,))}
+    x = jax.random.normal(jax.random.fold_in(k, 3), (B_, N, C))
+    rel = jnp.asarray(W.relative_position_index(7))
+    mask = jnp.where(jax.random.uniform(jax.random.fold_in(k, 6),
+                                        (nW, N, N)) > 0.5, 0.0, -100.0)
+
+    for m in (mask, None):
+        ref = window_attention(p, layernorm(ln, x), h, rel, mask=m)
+        out = window_block_megakernel(p, ln, x, h, rel, mask=m)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+
+    def loss_fused(p, ln, x):
+        return (window_block_megakernel(p, ln, x, h, rel, mask=mask) ** 2).sum()
+
+    def loss_ref(p, ln, x):
+        return (window_attention(p, layernorm(ln, x), h, rel, mask=mask) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(p, ln, x)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(p, ln, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
