@@ -407,19 +407,31 @@ _win_block_op.defvjp(_win_block_fwd, _win_block_bwd)
 
 def window_block_megakernel(attn_p, ln, x, num_heads: int, rel_index, mask=None):
     """LN + W-MSA + proj fused (drop-in for layernorm+window_attention in
-    _spatial_windows). x: (BT*nW, N, C) raw window tokens."""
+    _spatial_windows). x: (BT*nW, N, C) raw window tokens.
+
+    N (=ws^2, typically 49) is padded to a bf16-sublane multiple (16) so the
+    in-kernel (TW, N, C) <-> (TW*N, C) collapses are layout-pure; padded keys
+    are masked through the bias, padded query rows are sliced off."""
     from .attention import gather_bias
-    N = x.shape[1]
+    B_, N, C = x.shape
     bias = gather_bias(attn_p["relative_position_bias_table"], rel_index,
                        num_heads, N)                 # (h, N, N)
     if mask is not None:
         bm = bias[None] + mask[:, None].astype(jnp.float32)  # (nW, h, N, N)
     else:
         bm = bias[None]                                      # (1, h, N, N)
+    NP = _round_up(N, 16)
+    if NP != N:
+        x = jnp.pad(x, ((0, 0), (0, NP - N), (0, 0)))
+        # pad keys: -1e30 (masked); pad query rows: 0 bias (finite, discarded)
+        bm = jnp.pad(bm, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
+        bm = jnp.pad(bm, ((0, 0), (0, 0), (0, 0), (0, NP - N)),
+                     constant_values=-1e30)
     rest = {"bqkv": attn_p["qkv"]["bias"], "wproj": attn_p["proj"]["kernel"],
             "bproj": attn_p["proj"]["bias"]}
-    return _win_block_op(x, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
-                         rest, bm, num_heads)
+    out = _win_block_op(x, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
+                        rest, bm, num_heads)
+    return out[:, :N, :]
 
 
 def temporal_attention_fused(p, x, num_heads: int, t_index, signal: str = "video"):
