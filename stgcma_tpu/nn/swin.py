@@ -168,9 +168,9 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
     t_index = jnp.asarray(_StaticCache.t_index(T))
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
     if fused_attention_enabled():
-        from ..ops.pallas_attn import temporal_attention_fused
-        res = temporal_attention_fused(p["attn"], layernorm(p["norm1"], xt),
-                                       st.num_heads, t_index, signal=signal)
+        from ..ops.pallas_attn import temporal_block_megakernel
+        res = temporal_block_megakernel(p["attn"], p["norm1"], xt,
+                                        st.num_heads, t_index, signal=signal)
     else:
         res = temporal_attention(p["attn"], layernorm(p["norm1"], xt), st.num_heads,
                                  t_index, signal=signal)

@@ -434,6 +434,30 @@ def window_block_megakernel(attn_p, ln, x, num_heads: int, rel_index, mask=None)
     return out[:, :N, :]
 
 
+def temporal_block_megakernel(attn_p, ln, x, num_heads: int, t_index,
+                              signal: str = "video"):
+    """LN + temporal attention + proj fused — same kernel as the W-MSA
+    megakernel with the per-modality temporal bias table and T padded to a
+    sublane multiple. x: (B*N, T, C)."""
+    from .attention import gather_bias
+    B_, T, C = x.shape
+    key = ("temporal_position_bias_table" if signal == "video"
+           else "temporal_position_bias_table_audio")
+    bias = gather_bias(attn_p[key], t_index, num_heads, T)    # (h, T, T)
+    bm = bias[None]                                           # (1, h, T, T)
+    TP = _round_up(T, 16)
+    if TP != T:
+        x = jnp.pad(x, ((0, 0), (0, TP - T), (0, 0)))
+        bm = jnp.pad(bm, ((0, 0), (0, 0), (0, TP - T), (0, 0)))
+        bm = jnp.pad(bm, ((0, 0), (0, 0), (0, 0), (0, TP - T)),
+                     constant_values=-1e30)
+    rest = {"bqkv": attn_p["qkv"]["bias"], "wproj": attn_p["proj"]["kernel"],
+            "bproj": attn_p["proj"]["bias"]}
+    out = _win_block_op(x, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
+                        rest, bm, num_heads)
+    return out[:, :T, :]
+
+
 def temporal_attention_fused(p, x, num_heads: int, t_index, signal: str = "video"):
     """Fused temporal attention (drop-in for ops.attention.temporal_attention):
     same kernel as W-MSA with rows = B*N*heads and bias (heads, T, T)."""

@@ -170,3 +170,30 @@ def test_window_block_megakernel_matches_naive():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_temporal_block_megakernel_matches_naive():
+    import stgcma_tpu.ops.window as W
+    from stgcma_tpu.ops.attention import temporal_attention
+    from stgcma_tpu.ops.common import layernorm
+    from stgcma_tpu.ops.pallas_attn import temporal_block_megakernel
+    k = jax.random.PRNGKey(11)
+    B_, T, C, h = 12, 10, 32, 4
+    p = {"qkv": {"kernel": jax.random.normal(k, (C, 3 * C)) * 0.05,
+                 "bias": jax.random.normal(jax.random.fold_in(k, 8), (3 * C,)) * .01},
+         "proj": {"kernel": jax.random.normal(jax.random.fold_in(k, 1),
+                                              (C, C)) * 0.05,
+                  "bias": jnp.zeros((C,))},
+         "temporal_position_bias_table": jax.random.normal(
+             jax.random.fold_in(k, 2), (19, h)) * 0.02,
+         "temporal_position_bias_table_audio": jax.random.normal(
+             jax.random.fold_in(k, 7), (19, h)) * 0.02}
+    ln = {"scale": 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(k, 4), (C,)),
+          "bias": 0.1 * jax.random.normal(jax.random.fold_in(k, 5), (C,))}
+    x = jax.random.normal(jax.random.fold_in(k, 3), (B_, T, C))
+    tid = jnp.asarray(W.temporal_relative_index(T))
+    for signal in ("video", "audio"):
+        ref = temporal_attention(p, layernorm(ln, x), h, tid, signal=signal)
+        out = temporal_block_megakernel(p, ln, x, h, tid, signal=signal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
