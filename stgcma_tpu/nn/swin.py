@@ -167,10 +167,14 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
     B = BT // T
     t_index = jnp.asarray(_StaticCache.t_index(T))
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
-    if fused_attention_enabled():
+    if fused_attention_enabled() and st.num_heads <= 8:
         from ..ops.pallas_attn import temporal_block_megakernel
         res = temporal_block_megakernel(p["attn"], p["norm1"], xt,
                                         st.num_heads, t_index, signal=signal)
+    elif fused_attention_enabled():
+        from ..ops.pallas_attn import temporal_attention_fused
+        res = temporal_attention_fused(p["attn"], layernorm(p["norm1"], xt),
+                                       st.num_heads, t_index, signal=signal)
     else:
         res = temporal_attention(p["attn"], layernorm(p["norm1"], xt), st.num_heads,
                                  t_index, signal=signal)
@@ -190,7 +194,9 @@ def _spatial_windows(p, x, st: BlockStatic):
     mask_np = _StaticCache.mask(st.H, st.W, st.window_size, st.shift_size)
     mask = None if mask_np is None else jnp.asarray(mask_np)
     rel = jnp.asarray(_StaticCache.rel_index(st.window_size))
-    if fused_attention_enabled():
+    if fused_attention_enabled() and st.num_heads <= 8:
+        # full megakernel (LN+qkv+attn+proj). Mosaic compile time scales with
+        # the unrolled head loop, so many-head stages use the v1 kernel below.
         from ..ops.pallas_attn import window_block_megakernel
         xr = x.reshape(BT, st.H, st.W, C)
         if st.shift_size > 0:
@@ -203,7 +209,11 @@ def _spatial_windows(p, x, st: BlockStatic):
     if st.shift_size > 0:
         xn = jnp.roll(xn, (-st.shift_size, -st.shift_size), axis=(1, 2))
     xw = W.window_partition(xn, st.window_size)
-    attn_w = window_attention(p["attn"], xw, st.num_heads, rel, mask=mask)
+    if fused_attention_enabled():
+        from ..ops.pallas_attn import window_attention_fused
+        attn_w = window_attention_fused(p["attn"], xw, st.num_heads, rel, mask=mask)
+    else:
+        attn_w = window_attention(p["attn"], xw, st.num_heads, rel, mask=mask)
     return attn_w, shortcut
 
 
