@@ -26,6 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/stgcma_jax_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from stgcma_tpu.configs import swin_base
     from stgcma_tpu.models import ave
     from stgcma_tpu.ops.common import cast_tree

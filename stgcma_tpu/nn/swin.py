@@ -167,7 +167,7 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
     B = BT // T
     t_index = jnp.asarray(_StaticCache.t_index(T))
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
-    if fused_attention_enabled() and st.num_heads <= 8:
+    if fused_attention_enabled() and st.num_heads <= 16:
         from ..ops.pallas_attn import temporal_block_megakernel
         res = temporal_block_megakernel(p["attn"], p["norm1"], xt,
                                         st.num_heads, t_index, signal=signal)
@@ -194,7 +194,7 @@ def _spatial_windows(p, x, st: BlockStatic):
     mask_np = _StaticCache.mask(st.H, st.W, st.window_size, st.shift_size)
     mask = None if mask_np is None else jnp.asarray(mask_np)
     rel = jnp.asarray(_StaticCache.rel_index(st.window_size))
-    if fused_attention_enabled() and st.num_heads <= 8:
+    if fused_attention_enabled() and st.num_heads <= 16:
         # full megakernel (LN+qkv+attn+proj). Mosaic compile time scales with
         # the unrolled head loop, so many-head stages use the v1 kernel below.
         from ..ops.pallas_attn import window_block_megakernel

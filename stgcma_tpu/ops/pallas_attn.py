@@ -481,12 +481,13 @@ def temporal_attention_fused(p, x, num_heads: int, t_index, signal: str = "video
 
 
 def cross_modal_fuse_flash(v_hidden, a_hidden, gate_v, gate_a,
-                           min_tokens: int = 256):
+                           min_tokens: int = 120):
     """Drop-in for ops.attention.cross_modal_fuse using the Pallas kernel when
     the token count justifies it (joint/global fusion over full stage grids)."""
     from .attention import cross_modal_fuse
     N = v_hidden.shape[1]
-    if N < min_tokens:
+    if N < min_tokens or jax.default_backend() == "cpu":
+        # CPU: interpret-mode pallas is debug-speed; XLA naive is the fast path
         return cross_modal_fuse(v_hidden, a_hidden, gate_v, gate_a)
     dt = v_hidden.dtype
     a2v = unscaled_attention(v_hidden, a_hidden, a_hidden)
