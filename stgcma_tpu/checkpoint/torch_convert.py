@@ -539,6 +539,72 @@ def load_resnet18(params, state_dict, prefix=""):
 
 
 # ---------------------------------------------------------------------------
+# PVT-v2 (AVS baseline encoder — torchvision-style pvt_v2 layout)
+# ---------------------------------------------------------------------------
+
+def load_pvt_v2(params, state_dict, prefix=""):
+    """pvt_v2_b* state_dict (AVS/model/pvt.py layout) -> nn.pvt param tree."""
+    flat: Dict[str, np.ndarray] = {}
+    for key, v in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if key.startswith("head."):
+            continue
+        v = _np(v)
+        parts = key.split(".")
+        leaf = parts[-1]
+        m = re.match(r"patch_embed(\d)\.(proj|norm)\.(weight|bias)", key)
+        if m:
+            i, mod, wl = m.groups()
+            if mod == "proj":
+                arr = t_conv2d(v) if wl == "weight" else v
+                flat[f"{prefix}patch_embed{i}/proj/"
+                     f"{'kernel' if wl == 'weight' else 'bias'}"] = arr
+            else:
+                flat[f"{prefix}patch_embed{i}/norm/"
+                     f"{'scale' if wl == 'weight' else 'bias'}"] = v
+            continue
+        m = re.match(r"norm(\d)\.(weight|bias)", key)
+        if m:
+            i, wl = m.groups()
+            flat[f"{prefix}norm{i}/{'scale' if wl == 'weight' else 'bias'}"] = v
+            continue
+        m = re.match(r"block(\d)\.(\d+)\.(.+)", key)
+        if m:
+            i, j, rest = m.groups()
+            base = f"{prefix}block{i}/{j}/"
+            if rest.startswith(("norm1.", "norm2.")):
+                stem, wl = rest.split(".")
+                flat[f"{base}{stem}/{'scale' if wl == 'weight' else 'bias'}"] = v
+            elif rest.startswith("attn.sr."):
+                wl = rest.split(".")[-1]
+                arr = t_conv2d(v) if wl == "weight" else v
+                flat[f"{base}attn/sr/{'kernel' if wl == 'weight' else 'bias'}"] = arr
+            elif rest.startswith("attn.norm."):
+                wl = rest.split(".")[-1]
+                flat[f"{base}attn/norm/{'scale' if wl == 'weight' else 'bias'}"] = v
+            elif rest.startswith(("attn.q.", "attn.kv.", "attn.proj.")):
+                _, stem, wl = rest.split(".")
+                arr = t_linear(v) if wl == "weight" else v
+                flat[f"{base}attn/{stem}/{'kernel' if wl == 'weight' else 'bias'}"] = arr
+            elif rest.startswith("mlp.dwconv.dwconv."):
+                wl = rest.split(".")[-1]
+                if wl == "weight":  # (dim, 1, 3, 3) depthwise -> (3, 3, 1, dim)
+                    flat[f"{base}mlp/dwconv/kernel"] = v.transpose(2, 3, 1, 0)
+                else:
+                    flat[f"{base}mlp/dwconv/bias"] = v
+            elif rest.startswith(("mlp.fc1.", "mlp.fc2.")):
+                _, stem, wl = rest.split(".")
+                arr = t_linear(v) if wl == "weight" else v
+                flat[f"{base}mlp/{stem}/{'kernel' if wl == 'weight' else 'bias'}"] = arr
+            else:
+                raise ValueError(f"unhandled pvt block key {key}")
+            continue
+        raise ValueError(f"unhandled pvt key {key}")
+    return merge_into(params, flat)
+
+
+# ---------------------------------------------------------------------------
 # weight averaging (AVE/run_adapt_ave29.py:203-214)
 # ---------------------------------------------------------------------------
 

@@ -41,6 +41,52 @@ def init_avs(key, cfg: SwinConfig, hcfg: AVSHeadConfig) -> Dict[str, Any]:
             "avstask": init_avs_head(k2, hcfg)}
 
 
+def init_avs_pvt(key, hcfg: AVSHeadConfig):
+    """PVT-v2-b5 AVS baseline (reference: AVS/model/PVT_AVSModel.py:323 wiring
+    pvt_v2_b5 into the TPAVI decoder — kept unwired in the reference repo).
+    PVT stage dims equal vis_dim, so no x_linear projections are needed."""
+    from ..nn import pvt
+    from ..nn.decoder import aspp_init, ffb_init, output_conv_init
+    from ..nn import tpavi as _tpavi
+    k1, k2 = jax.random.split(key)
+    ks = jax.random.split(k2, 9 + len(hcfg.tpavi_stages))
+    head: Dict[str, Any] = {}
+    for i in range(4):
+        head[f"conv{i+1}"] = aspp_init(ks[i], hcfg.vis_dim[i], hcfg.channel)
+        head[f"path{i+1}"] = ffb_init(ks[4 + i], hcfg.channel)
+    for j, i in enumerate(hcfg.tpavi_stages):
+        head[f"tpavi_b{i+1}"] = _tpavi.tpavi_init(ks[8 + j], hcfg.channel,
+                                                  hcfg.tpavi_audio_dim)
+    head["output_conv"] = output_conv_init(ks[-1], hcfg.channel)
+    return {"encoder": pvt.pvt_init(k1, pvt.B5), "avstask": head}
+
+
+def apply_avs_pvt(params, hcfg: AVSHeadConfig, audio_feat, frames, train=False):
+    """audio_feat: (B, T, 128) VGGish features; frames: (B*T, H, W, 3).
+    Returns (pred, feature_map_list, a_fea_list) like apply_avs."""
+    from ..nn import pvt, tpavi as _tpavi
+    from ..nn.decoder import aspp_apply, ffb_apply, output_conv_apply
+    hp = params["avstask"]
+    maps = pvt.pvt_apply(params["encoder"], frames)
+    feature_map_list = [aspp_apply(hp[f"conv{i+1}"], m)
+                        for i, m in enumerate(maps)]
+    B, T = audio_feat.shape[0], audio_feat.shape[1]
+    a_fea_list: List[Optional[jnp.ndarray]] = [None] * 4
+    for i in hcfg.tpavi_stages:
+        fm = feature_map_list[i]
+        BT, H, W, C = fm.shape
+        z, a_fea, _ = _tpavi.tpavi_apply(hp[f"tpavi_b{i+1}"],
+                                         fm.reshape(B, T, H, W, C),
+                                         audio_feat, train=train)
+        a_fea_list[i] = a_fea
+        feature_map_list[i] = z.reshape(BT, H, W, C)
+    x = ffb_apply(hp["path4"], feature_map_list[3])
+    for i in (2, 1, 0):
+        x = ffb_apply(hp[f"path{i+1}"], x, feature_map_list[i])
+    pred = output_conv_apply(hp["output_conv"], x)
+    return pred, feature_map_list, a_fea_list
+
+
 def apply_avs(params, cfg: SwinConfig, hcfg: AVSHeadConfig, a, v, train=False):
     """Fusion forward (Swin_AVSModel.py:1790-1894). Returns
     (pred, feature_map_list, a_fea_list)."""
