@@ -63,6 +63,7 @@ def parse_args(argv=None):
     p.add_argument("--synthetic_n", type=int, default=8)
     # CI-sized model override (not a reference preset)
     p.add_argument("--tiny", type=str2bool, default=False)
+    p.add_argument("--resume", type=str2bool, default=False)
     return p.parse_args(argv)
 
 
@@ -148,7 +149,7 @@ def main(argv=None):
         n_epochs=args.n_epochs, steps_per_epoch=max(len(tr), 1),
         warmup_epochs=args.warmup_epochs, min_lr=args.min_lr,
         exp_dir=args.exp_dir, freeze_base=args.freeze_base)
-    trainer.fit(tr, te, rng)
+    trainer.fit(tr, te, rng, resume=args.resume)
 
     if args.wa:
         from ..checkpoint.io import load_checkpoint

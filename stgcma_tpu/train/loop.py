@@ -90,9 +90,47 @@ class Trainer:
     def validate(self, batches: Iterable) -> Dict[str, float]:
         return self.eval_fn(self.params(), batches)
 
-    def fit(self, train_loader, val_loader, rng=None):
+    # ---- mid-training resume (absent in the reference — SURVEY §5) ----
+
+    def _state_dir(self):
+        return os.path.join(self.exp_dir, "state")
+
+    def save_state(self, epoch: int):
+        save_checkpoint(self._state_dir(),
+                        {"train_params": self.train_params_tree(),
+                         "opt_state": self.opt_state})
+        with open(os.path.join(self.exp_dir, "state_meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "history": self.history,
+                       "best_metric": float(self.best_metric),
+                       "best_epoch": self.best_epoch,
+                       "global_step": self.global_step}, f)
+
+    def train_params_tree(self):
+        return self.train_p
+
+    def try_restore(self) -> int:
+        """Returns the epoch to start from (1 if no state saved)."""
+        meta_path = os.path.join(self.exp_dir, "state_meta.json")
+        if not os.path.exists(meta_path):
+            return 1
+        from ..checkpoint.io import load_checkpoint
+        like = {"train_params": self.train_p, "opt_state": self.opt_state}
+        state = load_checkpoint(self._state_dir(), like)
+        self.train_p = state["train_params"]
+        self.opt_state = state["opt_state"]
+        with open(meta_path) as f:
+            meta = json.load(f)
+        self.history = meta["history"]
+        self.best_metric = meta["best_metric"]
+        self.best_epoch = meta["best_epoch"]
+        self.global_step = meta.get("global_step", 0)
+        print(f"resumed from epoch {meta['epoch']}")
+        return meta["epoch"] + 1
+
+    def fit(self, train_loader, val_loader, rng=None, resume: bool = False):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        for epoch in range(1, self.n_epochs + 1):
+        start = self.try_restore() if resume else 1
+        for epoch in range(start, self.n_epochs + 1):
             loss = self.train_epoch(epoch, train_loader, jax.random.fold_in(rng, epoch))
             if np.isnan(loss):
                 break
@@ -107,6 +145,7 @@ class Trainer:
                 self.best_metric, self.best_epoch = metric, epoch
                 save_checkpoint(os.path.join(self.exp_dir, "models", "best_model"),
                                 self.params())
+            self.save_state(epoch)
         return self.history
 
     def _write_results(self):

@@ -19,3 +19,13 @@ def test_ave_cli_synthetic(tmp_path):
     with open(os.path.join(exp, "progress.json")) as f:
         prog = json.load(f)
     assert prog["history"][0]["epoch"] == 1
+
+
+def test_ave_cli_resume(tmp_path):
+    exp = str(tmp_path / "exp_r")
+    args = ["--synthetic", "True", "--tiny", "True", "--batch_size", "2",
+            "--synthetic_n", "4", "--exp-dir", exp, "--num_workers", "2"]
+    run_adapt_ave29.main(args + ["--n-epochs", "1"])
+    # resume continues to epoch 2 without redoing epoch 1
+    t2 = run_adapt_ave29.main(args + ["--n-epochs", "2", "--resume", "True"])
+    assert [h["epoch"] for h in t2.history] == [1, 2]
