@@ -120,13 +120,23 @@ class AVEDataset:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         vid = self.order[i]
         vid_s = vid.decode() if isinstance(vid, bytes) else str(vid)
-        frame_dir = os.path.join(self.frames_root, vid_s)
-        paths = _select_frames(frame_dir, self.num_frames)
-        frames = np.stack([load_image(p) for p in paths])
-        wav, sr = load_wav(os.path.join(self.audio_root, vid_s + ".wav"))
-        wav = wav.mean(axis=0)
-        wav = wav - wav.mean()
-        segs = _segment_waveform(wav, sr, self.num_frames, 1.0)
+        # corrupted-sample fallbacks mirror the reference's 0.01-filled
+        # substitutes + warning (AVE/dataloader.py:246-248,311-316,501-505)
+        try:
+            frame_dir = os.path.join(self.frames_root, vid_s)
+            paths = _select_frames(frame_dir, self.num_frames)
+            frames = np.stack([load_image(p) for p in paths])
+        except Exception as e:
+            print(f"there is a frame loading error for {vid_s}: {e}")
+            frames = np.zeros((self.num_frames, 224, 224, 3), np.uint8)
+        try:
+            wav, sr = load_wav(os.path.join(self.audio_root, vid_s + ".wav"))
+            wav = wav.mean(axis=0)
+            wav = wav - wav.mean()
+            segs = _segment_waveform(wav, sr, self.num_frames, 1.0)
+        except Exception as e:
+            print(f"there is an audio loading error for {vid_s}: {e}")
+            segs = np.full((self.num_frames, 16000), 0.01, np.float32)
         return {"frames": frames, "wave": segs, "labels": self.labels[vid]
                 if np.issubdtype(type(vid), np.integer) else self.labels[i]}
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -355,7 +356,9 @@ def _win_block_op(x, ln_scale, ln_bias, wqkv, bqkv_wproj_bproj, bm, heads):
 def _win_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm, heads):
     B_, N, C = x.shape
     nW, h = bm.shape[0], bm.shape[1]
-    TW = nW * max(1, 64 // nW)  # ~64 windows per tile, aligned to the bias period
+    # tile budget ~1 MB of x per tile, aligned to the bias period
+    budget = max(1, (1 << 20) // (N * C * 2))
+    TW = nW * max(1, budget // nW)
     RP = _round_up(B_, TW)
     if RP != B_:
         x = jnp.pad(x, ((0, RP - B_), (0, 0), (0, 0)))
@@ -405,6 +408,34 @@ def _win_block_bwd(heads, res, g):
 _win_block_op.defvjp(_win_block_fwd, _win_block_bwd)
 
 
+def _pack_blockdiag(x, bm, pack: int):
+    """Gram packing: fold `pack` consecutive windows into one block-diagonal
+    attention problem of width pack*N. One MXU pass then computes `pack` grams
+    (cross-window logits are masked to -1e30 through the bias), beating the
+    per-pass latency floor of tiny grams.
+
+    x: (R, N, C) -> (R/pack, pack*N, C); bm: (nWb, h, N, N) ->
+    (P, h, pack*N, pack*N) with P = bias period over packed groups."""
+    R, N, C = x.shape
+    nWb, h = bm.shape[0], bm.shape[1]
+    assert R % pack == 0
+    x2 = x.reshape(R // pack, pack * N, C)
+    if nWb % pack == 0:
+        P = nWb // pack
+    else:
+        P = nWb  # lcm fallback (nWb=1 or coprime): period nWb groups
+        assert nWb == 1, "unsupported bias period/pack combination"
+    idx = (np.arange(P * pack) % nWb)
+    blocks = bm[jnp.asarray(idx)].reshape(P, pack, h, N, N)
+    neg = jnp.full((P, h, N, N), -1e30, bm.dtype)
+    rows = []
+    for j in range(pack):
+        row = [blocks[:, j] if k == j else neg for k in range(pack)]
+        rows.append(jnp.concatenate(row, axis=-1))
+    bmp = jnp.concatenate(rows, axis=-2)  # (P, h, pack*N, pack*N)
+    return x2, bmp
+
+
 def window_block_megakernel(attn_p, ln, x, num_heads: int, rel_index, mask=None):
     """LN + W-MSA + proj fused (drop-in for layernorm+window_attention in
     _spatial_windows). x: (BT*nW, N, C) raw window tokens.
@@ -429,8 +460,16 @@ def window_block_megakernel(attn_p, ln, x, num_heads: int, rel_index, mask=None)
                      constant_values=-1e30)
     rest = {"bqkv": attn_p["qkv"]["bias"], "wproj": attn_p["proj"]["kernel"],
             "bproj": attn_p["proj"]["bias"]}
-    out = _win_block_op(x, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
-                        rest, bm, num_heads)
+    pack = 2 if (x.shape[0] % 2 == 0 and
+                 (bm.shape[0] % 2 == 0 or bm.shape[0] == 1)) else 1
+    if pack > 1:
+        xp, bmp = _pack_blockdiag(x, bm, pack)
+        out = _win_block_op(xp, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
+                            rest, bmp, num_heads)
+        out = out.reshape(x.shape[0], NP, -1)
+    else:
+        out = _win_block_op(x, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
+                            rest, bm, num_heads)
     return out[:, :N, :]
 
 
@@ -453,8 +492,16 @@ def temporal_block_megakernel(attn_p, ln, x, num_heads: int, t_index,
                      constant_values=-1e30)
     rest = {"bqkv": attn_p["qkv"]["bias"], "wproj": attn_p["proj"]["kernel"],
             "bproj": attn_p["proj"]["bias"]}
-    out = _win_block_op(x, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
-                        rest, bm, num_heads)
+    # T is tiny (16 padded): pack 8 groups -> 128-wide block-diag grams
+    pack = 8
+    R = x.shape[0]
+    RP = _round_up(R, pack)
+    if RP != R:
+        x = jnp.pad(x, ((0, RP - R), (0, 0), (0, 0)))
+    xp, bmp = _pack_blockdiag(x, bm, pack)
+    out = _win_block_op(xp, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
+                        rest, bmp, num_heads)
+    out = out.reshape(RP, TP, -1)[:R]
     return out[:, :T, :]
 
 
