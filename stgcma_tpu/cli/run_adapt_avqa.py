@@ -45,6 +45,8 @@ def parse_args(argv=None):
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--dataset_mean", type=float, default=-5.269)
     p.add_argument("--dataset_std", type=float, default=4.578)
+    p.add_argument("--eval_only", type=str2bool, default=False)
+    p.add_argument("--ckpt", default="")
     p.add_argument("--synthetic", type=str2bool, default=False)
     p.add_argument("--tiny", type=str2bool, default=False)
     return p.parse_args(argv)
@@ -157,6 +159,16 @@ def main(argv=None):
             types.extend(batch["qtype"])
         rep = avqa_type_accuracy(preds, answers, types)
         return {"acc": rep["Overall"], **{k: v for k, v in rep.items()}}
+
+    if args.eval_only:
+        # standalone per-question-type evaluation (AVQA/test.py equivalent)
+        if args.ckpt:
+            from ..checkpoint.io import load_checkpoint
+            params = load_checkpoint(args.ckpt, params)
+        rep = eval_fn(params, te)
+        for k, v in rep.items():
+            print(f"{k}: {v}")
+        return rep
 
     trainer = Trainer(loss_fn=loss_fn, eval_fn=eval_fn, params=params,
                       base_lr=args.lr, n_epochs=args.n_epochs,

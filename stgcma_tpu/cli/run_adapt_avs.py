@@ -49,6 +49,8 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", type=str2bool, default=False)
     p.add_argument("--tiny", type=str2bool, default=False)
     # ablation switches (AVS/run_adapt_avs_ablation.sh variants)
+    p.add_argument("--eval_only", type=str2bool, default=False)
+    p.add_argument("--ckpt", default="")
     p.add_argument("--use_temporal_attn", type=str2bool, default=True)
     p.add_argument("--use_t_adapter", type=str2bool, default=True)
     p.add_argument("--use_s_adapter", type=str2bool, default=True)
@@ -168,6 +170,16 @@ def main(argv=None):
             if args.save_mask_dir:
                 _dump_masks(np.asarray(pred), args.save_mask_dir, len(ious))
         return {"miou": float(np.mean(ious)) if ious else float("nan")}
+
+    if args.eval_only:
+        # standalone evaluation (AVS/test.py equivalent): load ckpt, MIoU,
+        # optional PNG mask dump
+        if args.ckpt:
+            from ..checkpoint.io import load_checkpoint
+            params = load_checkpoint(args.ckpt, params)
+        metrics = eval_fn(params, te)
+        print("eval:", metrics)
+        return metrics
 
     trainer = Trainer(loss_fn=loss_fn, eval_fn=eval_fn, params=params,
                       base_lr=args.lr, n_epochs=args.n_epochs,
