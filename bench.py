@@ -30,31 +30,44 @@ def main():
                       os.path.expanduser("~/.cache/stgcma_jax_tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from stgcma_tpu.configs import swin_base
+    from stgcma_tpu.configs import clip_b16, swin_base
     from stgcma_tpu.models import ave
     from stgcma_tpu.ops.common import cast_tree
 
-    cfg = swin_base(ftmode="fusion", label_dim=29)
-    params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
-    params = cast_tree(params, jnp.bfloat16)
-
+    # BASELINE.json configs[0] is "AVE-29: CLIP ViT-B/16 + STG-CMA adapter";
+    # BENCH_MODEL=swin-base measures the windowed Swin flagship instead
+    # (see BENCH_NOTES.md for both numbers).
+    model = os.environ.get("BENCH_MODEL", "clip-b16")
     B = int(os.environ.get("BENCH_BATCH", "8"))
+    rng = np.random.RandomState(0)
+    if model == "swin-base":
+        cfg = swin_base(ftmode="fusion", label_dim=29)
+        params = cast_tree(ave.init_swin_ave(jax.random.PRNGKey(0), cfg),
+                           jnp.bfloat16)
+        apply_fn = ave.apply_swin_ave
+        a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
+        v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
+    else:
+        cfg = clip_b16(ftmode="fusion", label_dim=29)
+        params = cast_tree(ave.init_clip_ave(jax.random.PRNGKey(0), cfg),
+                           jnp.bfloat16)
+        apply_fn = ave.apply_clip_ave
+        a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
+        v_shape = (B, cfg.num_frames, cfg.input_resolution,
+                   cfg.input_resolution, 3)
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def fwd_many(params, a, v, n):
         def body(carry, _):
             # carry-perturbed input defeats loop hoisting; cast keeps bf16 compute
-            logits = ave.apply_swin_ave(params, cfg,
-                                        a + (carry * 1e-8).astype(jnp.bfloat16), v)
+            logits = apply_fn(params, cfg,
+                              a + (carry * 1e-8).astype(jnp.bfloat16), v)
             return logits.astype(jnp.float32).mean() * 1e-6, None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return acc
 
-    rng = np.random.RandomState(0)
-    a = jnp.asarray(rng.randn(B, cfg.num_frames, cfg.img_size, cfg.img_size),
-                    jnp.bfloat16)
-    v = jnp.asarray(rng.randn(B, cfg.num_frames, cfg.img_size, cfg.img_size, 3),
-                    jnp.bfloat16)
+    a = jnp.asarray(rng.randn(*a_shape), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(*v_shape), jnp.bfloat16)
 
     n_small, n_large = 2, 12
     # compile both variants (fetch forces real execution through the relay)
@@ -75,8 +88,9 @@ def main():
     clips_per_sec = B / per_iter
 
     dev = jax.devices()[0]
+    name = "CLIP-B/16" if model != "swin-base" else "Swin-Base"
     print(json.dumps({
-        "metric": "AVE Swin-Base fusion inference throughput "
+        "metric": f"AVE {name} fusion inference throughput "
                   f"(bf16, batch={B}, on-device steady state, {dev.device_kind})",
         "value": round(clips_per_sec, 2),
         "unit": "clips/sec/chip",
