@@ -62,6 +62,9 @@ def clip_block_init(key, cfg: ClipConfig, mode: str) -> Dict[str, Any]:
 
 def _attention(p, x, heads: int):
     """self.attention(): MHA(x, x, x) (CLIP_AVE.py:106-108)."""
+    from ..ops.pallas_attn import fused_attention_enabled, mha_self_fused
+    if fused_attention_enabled() and heads <= 16:
+        return mha_self_fused(p["attn"], x, heads)
     return mha(p["attn"], x, x, x, heads)
 
 

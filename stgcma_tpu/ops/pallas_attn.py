@@ -527,6 +527,28 @@ def temporal_attention_fused(p, x, num_heads: int, t_index, signal: str = "video
     return linear(p["proj"], out)
 
 
+def mha_self_fused(p, x, num_heads: int):
+    """Dense self-attention (CLIP ResidualAttentionBlock.attention) through the
+    W-MSA kernel with a zero bias — logits stay in VMEM instead of XLA
+    materializing (BT, h, N, N) fp32 in HBM. Drop-in for ops.attention.mha
+    with q=k=v=x."""
+    from .common import linear
+    B_, N, C = x.shape
+    dh = C // num_heads
+    scale = dh ** -0.5
+    wk = p["in_proj"]["kernel"].astype(x.dtype)
+    bk = p["in_proj"]["bias"].astype(x.dtype)
+    qkv = x @ wk + bk
+    qkv = qkv.reshape(B_, N, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+    bm = jnp.zeros((num_heads, N, N), jnp.float32)
+    out = _wmsa_attention(q.reshape(B_ * num_heads, N, dh),
+                          k.reshape(B_ * num_heads, N, dh),
+                          v.reshape(B_ * num_heads, N, dh), bm)
+    out = out.reshape(B_, num_heads, N, dh).transpose(0, 2, 1, 3).reshape(B_, N, C)
+    return linear(p["out_proj"], out)
+
+
 def cross_modal_fuse_flash(v_hidden, a_hidden, gate_v, gate_a,
                            min_tokens: int = 120):
     """Drop-in for ops.attention.cross_modal_fuse using the Pallas kernel when
