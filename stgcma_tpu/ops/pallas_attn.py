@@ -541,10 +541,35 @@ def mha_self_fused(p, x, num_heads: int):
     qkv = x @ wk + bk
     qkv = qkv.reshape(B_, N, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-    bm = jnp.zeros((num_heads, N, N), jnp.float32)
-    out = _wmsa_attention(q.reshape(B_ * num_heads, N, dh),
-                          k.reshape(B_ * num_heads, N, dh),
-                          v.reshape(B_ * num_heads, N, dh), bm)
+    q = q.reshape(B_ * num_heads, N, dh)
+    k = k.reshape(B_ * num_heads, N, dh)
+    v = v.reshape(B_ * num_heads, N, dh)
+    if N <= 16:
+        # tiny grams (CLIP temporal axis, T=10): pad to 16 and pack 8 per
+        # 128-wide block-diagonal gram to beat MXU pass latency. The bias is
+        # head-independent here (zero + pad/off-diagonal -1e30 masks), so one
+        # (1, 8*16, 8*16) mask serves every packed row group.
+        NP, pack = 16, 8
+        padn = ((0, 0), (0, NP - N), (0, 0))
+        q, k, v = jnp.pad(q, padn), jnp.pad(k, padn), jnp.pad(v, padn)
+        R = q.shape[0]
+        RP = _round_up(R, pack)
+        padr = ((0, RP - R), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, padr), jnp.pad(k, padr), jnp.pad(v, padr)
+        q = q.reshape(RP // pack, pack * NP, dh)
+        k = k.reshape(RP // pack, pack * NP, dh)
+        v = v.reshape(RP // pack, pack * NP, dh)
+        blk = np.full((NP, NP), -1e30, np.float32)
+        blk[:, :N] = 0.0                       # valid keys within a block
+        bm_np = np.full((pack * NP, pack * NP), -1e30, np.float32)
+        for j in range(pack):
+            bm_np[j * NP:(j + 1) * NP, j * NP:(j + 1) * NP] = blk
+        bm = jnp.asarray(bm_np)[None]          # (1, 128, 128)
+        out = _wmsa_attention(q, k, v, bm)
+        out = out.reshape(RP, NP, dh)[:B_ * num_heads, :N]
+    else:
+        bm = jnp.zeros((num_heads, N, N), jnp.float32)
+        out = _wmsa_attention(q, k, v, bm)
     out = out.reshape(B_, num_heads, N, dh).transpose(0, 2, 1, 3).reshape(B_, N, C)
     return linear(p["out_proj"], out)
 

@@ -215,3 +215,22 @@ def test_mha_self_fused_matches_mha():
     out = mha_self_fused(p, x, h)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_mha_self_fused_tiny_n_packed():
+    """N<=16 packed path (CLIP temporal axis) matches the naive MHA."""
+    from stgcma_tpu.ops.attention import mha
+    from stgcma_tpu.ops.pallas_attn import mha_self_fused
+    k = jax.random.PRNGKey(13)
+    B_, N, C, h = 37, 10, 32, 4   # odd B_ exercises row padding
+    p = {"in_proj": {"kernel": jax.random.normal(k, (C, 3 * C)) * 0.05,
+                     "bias": jax.random.normal(jax.random.fold_in(k, 1),
+                                               (3 * C,)) * 0.01},
+         "out_proj": {"kernel": jax.random.normal(jax.random.fold_in(k, 2),
+                                                  (C, C)) * 0.05,
+                      "bias": jnp.zeros((C,))}}
+    x = jax.random.normal(jax.random.fold_in(k, 3), (B_, N, C))
+    ref = mha(p, x, x, x, h)
+    out = mha_self_fused(p, x, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
