@@ -544,281 +544,6 @@ def mha_self_fused(p, x, num_heads: int):
     q = q.reshape(B_ * num_heads, N, dh)
     k = k.reshape(B_ * num_heads, N, dh)
     v = v.reshape(B_ * num_heads, N, dh)
-    bm = jnp.zeros((num_heads, N, N), jnp.float32)
-    out = _wmsa_attention(q, k, v, bm)
-    out = out.reshape(B_, num_heads, N, dh).transpose(0, 2, 1, 3).reshape(B_, N, C)
-    return linear(p["proj"], out)
-
-
-# ---------------------------------------------------------------------------
-# W-MSA megakernel: LN + qkv + per-head attention + proj in one VMEM pass
-# ---------------------------------------------------------------------------
-
-def _win_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                      wproj_ref, bproj_ref, bm_ref, o_ref, *, heads: int,
-                      ln_eps: float = 1e-5):
-    """x: (TW, N, C) raw window tokens; bm: (nWb, heads, N, N) fp32 with nWb
-    dividing TW (bias+mask repeat with period nWb along the window axis).
-    o = proj(MSA(LN(x))) — everything stays in VMEM."""
-    TW, N, C = x_ref.shape
-    dh = C // heads
-    scale = dh ** -0.5
-    x = x_ref[:].reshape(TW * N, C)
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
-    xn = (xn * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
-          ).astype(x.dtype)
-    qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)  # (TW*N, 3C)
-
-    nWb = bm_ref.shape[0]
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * dh:(h + 1) * dh].reshape(TW, N, dh) * scale
-        k = qkv[:, C + h * dh: C + (h + 1) * dh].reshape(TW, N, dh)
-        v = qkv[:, 2 * C + h * dh: 2 * C + (h + 1) * dh].reshape(TW, N, dh)
-        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
-        logits = logits.reshape(TW // nWb, nWb, N, N) + bm_ref[:, h][None]
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(TW, N, N)
-        oh = jax.lax.dot_general(p.astype(x.dtype), v,
-                                 (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        outs.append(oh.astype(x.dtype).reshape(TW * N, dh))
-    o = jnp.concatenate(outs, axis=-1)          # (TW*N, C) heads merged
-    o = jnp.dot(o, wproj_ref[:], preferred_element_type=jnp.float32)
-    o = o + bproj_ref[:].astype(jnp.float32)
-    o_ref[:] = o.astype(o_ref.dtype).reshape(TW, N, C)
-
-
-def _win_block_naive(x, ln, attn_p, num_heads, biasmask_nwh):
-    """XLA reference of the megakernel (used for backward + CPU)."""
-    from .common import layernorm
-    from .attention import qkv_attention
-    # qkv_attention with an explicit (nwh, N, N) combined bias
-    B_, N, C = x.shape
-    xn = layernorm(ln, x)
-    nwh = biasmask_nwh.shape[0]
-    from .common import linear
-    dh = C // num_heads
-    scale = dh ** -0.5
-    qkv = linear(attn_p["qkv"], xn)
-    qkv = qkv.reshape(B_, N, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                        preferred_element_type=jnp.float32)
-    bm = biasmask_nwh.reshape(nwh // num_heads, num_heads, N, N)
-    logits = logits.reshape(B_ // (nwh // num_heads), nwh // num_heads,
-                            num_heads, N, N) + bm[None]
-    p = jax.nn.softmax(logits, axis=-1).reshape(B_, num_heads, N, N).astype(x.dtype)
-    o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
-    o = o.transpose(0, 2, 1, 3).reshape(B_, N, C)
-    return linear(attn_p["proj"], o)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _win_block_op(x, ln_scale, ln_bias, wqkv, bqkv_wproj_bproj, bm, heads):
-    wproj, bqkv, bproj = (bqkv_wproj_bproj["wproj"], bqkv_wproj_bproj["bqkv"],
-                          bqkv_wproj_bproj["bproj"])
-    return _win_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                             bm, heads)
-
-
-def _win_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm, heads):
-    B_, N, C = x.shape
-    nW, h = bm.shape[0], bm.shape[1]
-    # tile budget ~1 MB of x per tile, aligned to the bias period
-    budget = max(1, (1 << 20) // (N * C * 2))
-    TW = nW * max(1, budget // nW)
-    RP = _round_up(B_, TW)
-    if RP != B_:
-        x = jnp.pad(x, ((0, RP - B_), (0, 0), (0, 0)))
-    out = pl.pallas_call(
-        functools.partial(_win_block_kernel, heads=heads),
-        out_shape=jax.ShapeDtypeStruct((RP, N, C), x.dtype),
-        grid=(RP // TW,),
-        in_specs=[
-            pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln scale (C,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln bias
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # wqkv (C, 3C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bqkv (3C,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # wproj (C, C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bproj (C,)
-            pl.BlockSpec((nW, h, N, N), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=(jax.default_backend() == "cpu"),
-    )(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm)
-    return out[:B_]
-
-
-def _win_block_fwd(x, ln_scale, ln_bias, wqkv, bqkv_wproj_bproj, bm, heads):
-    out = _win_block_op(x, ln_scale, ln_bias, wqkv, bqkv_wproj_bproj, bm, heads)
-    return out, (x, ln_scale, ln_bias, wqkv, bqkv_wproj_bproj, bm)
-
-
-def _win_block_bwd(heads, res, g):
-    x, ln_scale, ln_bias, wqkv, rest, bm = res
-
-    def naive(x, ln_scale, ln_bias, wqkv, rest, bm):
-        ln = {"scale": ln_scale, "bias": ln_bias}
-        attn_p = {"qkv": {"kernel": wqkv, "bias": rest["bqkv"]},
-                  "proj": {"kernel": rest["wproj"], "bias": rest["bproj"]}}
-        nW, h, N, _ = bm.shape
-        return _win_block_naive(x, ln, attn_p, heads, bm.reshape(nW * h, N, N))
-
-    _, vjp = jax.vjp(naive, x, ln_scale, ln_bias, wqkv, rest, bm)
-    return vjp(g)
-
-
-_win_block_op.defvjp(_win_block_fwd, _win_block_bwd)
-
-
-def _pack_blockdiag(x, bm, pack: int):
-    """Gram packing: fold `pack` consecutive windows into one block-diagonal
-    attention problem of width pack*N. One MXU pass then computes `pack` grams
-    (cross-window logits are masked to -1e30 through the bias), beating the
-    per-pass latency floor of tiny grams.
-
-    x: (R, N, C) -> (R/pack, pack*N, C); bm: (nWb, h, N, N) ->
-    (P, h, pack*N, pack*N) with P = bias period over packed groups."""
-    R, N, C = x.shape
-    nWb, h = bm.shape[0], bm.shape[1]
-    assert R % pack == 0
-    x2 = x.reshape(R // pack, pack * N, C)
-    if nWb % pack == 0:
-        P = nWb // pack
-    else:
-        P = nWb  # lcm fallback (nWb=1 or coprime): period nWb groups
-        assert nWb == 1, "unsupported bias period/pack combination"
-    idx = (np.arange(P * pack) % nWb)
-    blocks = bm[jnp.asarray(idx)].reshape(P, pack, h, N, N)
-    neg = jnp.full((P, h, N, N), -1e30, bm.dtype)
-    rows = []
-    for j in range(pack):
-        row = [blocks[:, j] if k == j else neg for k in range(pack)]
-        rows.append(jnp.concatenate(row, axis=-1))
-    bmp = jnp.concatenate(rows, axis=-2)  # (P, h, pack*N, pack*N)
-    return x2, bmp
-
-
-def window_block_megakernel(attn_p, ln, x, num_heads: int, rel_index, mask=None):
-    """LN + W-MSA + proj fused (drop-in for layernorm+window_attention in
-    _spatial_windows). x: (BT*nW, N, C) raw window tokens.
-
-    N (=ws^2, typically 49) is padded to a bf16-sublane multiple (16) so the
-    in-kernel (TW, N, C) <-> (TW*N, C) collapses are layout-pure; padded keys
-    are masked through the bias, padded query rows are sliced off."""
-    from .attention import gather_bias
-    B_, N, C = x.shape
-    bias = gather_bias(attn_p["relative_position_bias_table"], rel_index,
-                       num_heads, N)                 # (h, N, N)
-    if mask is not None:
-        bm = bias[None] + mask[:, None].astype(jnp.float32)  # (nW, h, N, N)
-    else:
-        bm = bias[None]                                      # (1, h, N, N)
-    NP = _round_up(N, 16)
-    if NP != N:
-        x = jnp.pad(x, ((0, 0), (0, NP - N), (0, 0)))
-        # pad keys: -1e30 (masked); pad query rows: 0 bias (finite, discarded)
-        bm = jnp.pad(bm, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
-        bm = jnp.pad(bm, ((0, 0), (0, 0), (0, 0), (0, NP - N)),
-                     constant_values=-1e30)
-    rest = {"bqkv": attn_p["qkv"]["bias"], "wproj": attn_p["proj"]["kernel"],
-            "bproj": attn_p["proj"]["bias"]}
-    pack = 2 if (x.shape[0] % 2 == 0 and
-                 (bm.shape[0] % 2 == 0 or bm.shape[0] == 1)) else 1
-    if pack > 1:
-        xp, bmp = _pack_blockdiag(x, bm, pack)
-        out = _win_block_op(xp, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
-                            rest, bmp, num_heads)
-        out = out.reshape(x.shape[0], NP, -1)
-    else:
-        out = _win_block_op(x, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
-                            rest, bm, num_heads)
-    return out[:, :N, :]
-
-
-def temporal_block_megakernel(attn_p, ln, x, num_heads: int, t_index,
-                              signal: str = "video"):
-    """LN + temporal attention + proj fused — same kernel as the W-MSA
-    megakernel with the per-modality temporal bias table and T padded to a
-    sublane multiple. x: (B*N, T, C)."""
-    from .attention import gather_bias
-    B_, T, C = x.shape
-    key = ("temporal_position_bias_table" if signal == "video"
-           else "temporal_position_bias_table_audio")
-    bias = gather_bias(attn_p[key], t_index, num_heads, T)    # (h, T, T)
-    bm = bias[None]                                           # (1, h, T, T)
-    TP = _round_up(T, 16)
-    if TP != T:
-        x = jnp.pad(x, ((0, 0), (0, TP - T), (0, 0)))
-        bm = jnp.pad(bm, ((0, 0), (0, 0), (0, TP - T), (0, 0)))
-        bm = jnp.pad(bm, ((0, 0), (0, 0), (0, 0), (0, TP - T)),
-                     constant_values=-1e30)
-    rest = {"bqkv": attn_p["qkv"]["bias"], "wproj": attn_p["proj"]["kernel"],
-            "bproj": attn_p["proj"]["bias"]}
-    # T is tiny (16 padded): pack 8 groups -> 128-wide block-diag grams
-    pack = 8
-    R = x.shape[0]
-    RP = _round_up(R, pack)
-    if RP != R:
-        x = jnp.pad(x, ((0, RP - R), (0, 0), (0, 0)))
-    xp, bmp = _pack_blockdiag(x, bm, pack)
-    out = _win_block_op(xp, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
-                        rest, bmp, num_heads)
-    out = out.reshape(RP, TP, -1)[:R]
-    return out[:, :T, :]
-
-
-def temporal_attention_fused(p, x, num_heads: int, t_index, signal: str = "video"):
-    """Fused temporal attention (drop-in for ops.attention.temporal_attention):
-    same kernel as W-MSA with rows = B*N*heads and bias (heads, T, T)."""
-    from .attention import gather_bias
-    from .common import linear
-    B_, T, C = x.shape
-    dh = C // num_heads
-    scale = dh ** -0.5
-    key = ("temporal_position_bias_table" if signal == "video"
-           else "temporal_position_bias_table_audio")
-    bias = gather_bias(p[key], t_index, num_heads, T)    # (h, T, T)
-    qkv = linear(p["qkv"], x)
-    qkv = qkv.reshape(B_, T, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    q = (q * scale).reshape(B_ * num_heads, T, dh)
-    k = k.reshape(B_ * num_heads, T, dh)
-    v = v.reshape(B_ * num_heads, T, dh)
-    out = _wmsa_attention(q, k, v, bias)
-    out = out.reshape(B_, num_heads, T, dh).transpose(0, 2, 1, 3).reshape(B_, T, C)
-    return linear(p["proj"], out)
-
-
-def mha_self_fused(p, x, num_heads: int):
-    """Dense self-attention (CLIP ResidualAttentionBlock.attention) through the
-    W-MSA kernel with a zero bias — logits stay in VMEM instead of XLA
-    materializing (BT, h, N, N) fp32 in HBM. Drop-in for ops.attention.mha
-    with q=k=v=x."""
-    from .common import linear
-    B_, N, C = x.shape
-    dh = C // num_heads
-    scale = dh ** -0.5
-    wk = p["in_proj"]["kernel"].astype(x.dtype)
-    bk = p["in_proj"]["bias"].astype(x.dtype)
-    qkv = x @ wk + bk
-    qkv = qkv.reshape(B_, N, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-    q = q.reshape(B_ * num_heads, N, dh)
-    k = k.reshape(B_ * num_heads, N, dh)
-    v = v.reshape(B_ * num_heads, N, dh)
     if N <= 16:
         # tiny grams (CLIP temporal axis, T=10): pad to 16 and pack 8 per
         # 128-wide block-diagonal gram to beat MXU pass latency. The bias is
