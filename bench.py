@@ -74,7 +74,7 @@ def main():
     float(fwd_many(params, a, v, n_small))
     float(fwd_many(params, a, v, n_large))
 
-    def timed(n, reps=3):
+    def timed(n, reps=6):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
