@@ -72,6 +72,15 @@ def _mlp(p, x):
     return linear(p["mlp"]["c_proj"], quick_gelu(linear(p["mlp"]["c_fc"], x)))
 
 
+def _ffn_clip(p, x):
+    """ln_2 + MLP (QuickGELU); fused pallas kernel on TPU."""
+    from ..ops.pallas_attn import ffn_megakernel, fused_attention_enabled
+    if fused_attention_enabled():
+        return ffn_megakernel(p["mlp"], p["ln_2"], x, act="quick_gelu",
+                              keys=("c_fc", "c_proj"))
+    return _mlp(p, layernorm(p["ln_2"], x))
+
+
 def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
     """temporal adaptation: attention over the frame axis + no-skip T_Adapter +
     residual (CLIP_AVE.py:131-135). x: (B*T, N, C)."""
@@ -90,7 +99,7 @@ def _single(p, x, cfg: ClipConfig, sfx: str):
     x = _t_adapt(p, x, h, cfg.num_frames, "T_Adapter" + sfx)
     x = x + adapter_apply(p["S_Adapter" + sfx], _attention(p, layernorm(p["ln_1"], x), h),
                           skip=True)
-    xn = _mlp(p, layernorm(p["ln_2"], x))
+    xn = _ffn_clip(p, x)
     return x + xn + adapter_apply(p["MLP_Adapter" + sfx], xn, skip=False)
 
 
@@ -108,8 +117,8 @@ def _fusion(p, v, a, cfg: ClipConfig):
     v = v + vs + adapter_out(p["S_Adapter"], vs_h)
     a = a + a_s + adapter_out(p["S_Adapter_Audio"], as_h)
 
-    vn = _mlp(p, layernorm(p["ln_2"], v))
-    an = _mlp(p, layernorm(p["ln_2"], a))
+    vn = _ffn_clip(p, v)
+    an = _ffn_clip(p, a)
     vn_h = adapter_hidden(p["MLP_Adapter"], vn)
     an_h = adapter_hidden(p["MLP_Adapter_Audio"], an)
     vn_h, an_h = cross_modal_fuse(vn_h, an_h, p["gate_v"], p["gate_a"])

@@ -184,6 +184,15 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
     return xt.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(BT, N, C)
 
 
+
+def _ffn(p, x):
+    """FFN (LN+fc1+gelu+fc2); fused pallas kernel on TPU."""
+    if fused_attention_enabled():
+        from ..ops.pallas_attn import ffn_megakernel
+        return ffn_megakernel(p["mlp"], p["norm2"], x)
+    return mlp_apply(p["mlp"], layernorm(p["norm2"], x))
+
+
 def _spatial_windows(p, x, st: BlockStatic):
     """LN -> shift -> partition -> W-MSA. Returns (attn_windows, shortcut).
 
@@ -251,7 +260,7 @@ def _dual_no_fusion(p, v, a, st: BlockStatic):
         if st.use_s_adapter:
             attn_w = adapter_apply(p["S_Adapter2" + sfx], attn_w, skip=True)
         x = shortcut + _merge_windows(attn_w, st, x.shape[0])
-        xn = mlp_apply(p["mlp"], layernorm(p["norm2"], x))
+        xn = _ffn(p, x)
         x = x + xn
         if st.use_g_adapter:
             x = x + adapter_apply(p["S_Adapter" + sfx], xn, skip=False)
@@ -290,8 +299,8 @@ def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
     a = shortcut_a + _merge_windows(attn_a, st, a.shape[0])
 
     # joint/global STG-CMA on FFN outputs, token-level over the full stage grid
-    vn = mlp_apply(p["mlp"], layernorm(p["norm2"], v))
-    an = mlp_apply(p["mlp"], layernorm(p["norm2"], a))
+    vn = _ffn(p, v)
+    an = _ffn(p, a)
     if st.use_g_adapter:
         vn_h = adapter_hidden(p["S_Adapter"], vn)
         an_h = adapter_hidden(p["S_Adapter_Audio"], an)
@@ -306,7 +315,7 @@ def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
     if nega is not None:
         ng_attn, ng_short = _spatial_windows(p, nega, st)
         ng = ng_short + _merge_windows(ng_attn, st, nega.shape[0])
-        ng = ng + mlp_apply(p["mlp"], layernorm(p["norm2"], ng))
+        ng = ng + _ffn(p, ng)
         return v, a, ng
     return v, a
 

@@ -527,6 +527,99 @@ def temporal_attention_fused(p, x, num_heads: int, t_index, signal: str = "video
     return linear(p["proj"], out)
 
 
+# ---------------------------------------------------------------------------
+# fused FFN: LN + fc1 + activation + fc2 in one VMEM pass
+# ---------------------------------------------------------------------------
+
+def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref, *, act: str, ln_eps: float = 1e-5):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = (xn * lns_ref[:].astype(jnp.float32) +
+          lnb_ref[:].astype(jnp.float32)).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    if act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    h = h.astype(x.dtype)
+    o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str):
+    M, C = x.shape
+    hid = w1.shape[1]
+    # token-tile budget: keep the fp32 hidden block ~4 MB
+    TT = max(8, min(1024, _round_up((1 << 22) // (hid * 4), 8)))
+    MP = _round_up(M, TT)
+    if MP != M:
+        x = jnp.pad(x, ((0, MP - M), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel, act=act),
+        out_shape=jax.ShapeDtypeStruct((MP, C), x.dtype),
+        grid=(MP // TT,),
+        in_specs=[
+            pl.BlockSpec((TT, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return out[:M]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _ffn_op(x, ln_scale, ln_bias, w1, b1, w2, b2, act):
+    return _ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, act)
+
+
+def _ffn_naive(x, ln_scale, ln_bias, w1, b1, w2, b2, act):
+    from .common import gelu, layernorm, quick_gelu
+    xn = layernorm({"scale": ln_scale, "bias": ln_bias}, x)
+    h = xn @ w1.astype(x.dtype) + b1.astype(x.dtype)
+    h = quick_gelu(h) if act == "quick_gelu" else gelu(h)
+    return h @ w2.astype(x.dtype) + b2.astype(x.dtype)
+
+
+def _ffn_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act):
+    return _ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, act), \
+        (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _ffn_bwd(act, res, g):
+    _, vjp = jax.vjp(lambda *a: _ffn_naive(*a, act), *res)
+    return vjp(g)
+
+
+_ffn_op.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+def ffn_megakernel(mlp_p, ln, x, act: str = "gelu",
+                   keys: Tuple[str, str] = ("fc1", "fc2")):
+    """Fused LN+FFN (drop-in for mlp_apply(p, layernorm(ln, x))).
+    x: (..., N, C); returns the FFN output (residual added by the caller)."""
+    shape = x.shape
+    flat = x.reshape(-1, shape[-1])
+    f1, f2 = keys
+    out = _ffn_op(flat, ln["scale"], ln["bias"],
+                  mlp_p[f1]["kernel"], mlp_p[f1]["bias"],
+                  mlp_p[f2]["kernel"], mlp_p[f2]["bias"], act)
+    return out.reshape(shape)
+
+
 def mha_self_fused(p, x, num_heads: int):
     """Dense self-attention (CLIP ResidualAttentionBlock.attention) through the
     W-MSA kernel with a zero bias — logits stay in VMEM instead of XLA

@@ -234,3 +234,39 @@ def test_mha_self_fused_tiny_n_packed():
     out = mha_self_fused(p, x, h)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ffn_megakernel_matches_naive():
+    from stgcma_tpu.ops.common import gelu, layernorm, mlp_apply, quick_gelu, linear
+    from stgcma_tpu.ops.pallas_attn import ffn_megakernel
+    k = jax.random.PRNGKey(14)
+    B_, N, C = 3, 49, 32
+    mlp_p = {"fc1": {"kernel": jax.random.normal(k, (C, 4 * C)) * 0.05,
+                     "bias": jax.random.normal(jax.random.fold_in(k, 1),
+                                               (4 * C,)) * 0.01},
+             "fc2": {"kernel": jax.random.normal(jax.random.fold_in(k, 2),
+                                                 (4 * C, C)) * 0.05,
+                     "bias": jnp.zeros((C,))}}
+    ln = {"scale": 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(k, 3), (C,)),
+          "bias": 0.1 * jax.random.normal(jax.random.fold_in(k, 4), (C,))}
+    x = jax.random.normal(jax.random.fold_in(k, 5), (B_, N, C))
+    ref = mlp_apply(mlp_p, layernorm(ln, x))
+    out = ffn_megakernel(mlp_p, ln, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+    # quick_gelu flavor (CLIP)
+    clip_p = {"c_fc": mlp_p["fc1"], "c_proj": mlp_p["fc2"]}
+    ref_q = linear(clip_p["c_proj"], quick_gelu(linear(clip_p["c_fc"],
+                                                       layernorm(ln, x))))
+    out_q = ffn_megakernel(clip_p, ln, x, act="quick_gelu",
+                           keys=("c_fc", "c_proj"))
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q),
+                               rtol=3e-5, atol=3e-5)
+    # gradients through the custom vjp
+    g1 = jax.grad(lambda p, x: (ffn_megakernel(p, ln, x) ** 2).sum(),
+                  argnums=(0, 1))(mlp_p, x)
+    g2 = jax.grad(lambda p, x: (mlp_apply(p, layernorm(ln, x)) ** 2).sum(),
+                  argnums=(0, 1))(mlp_p, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
