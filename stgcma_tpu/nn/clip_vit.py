@@ -73,9 +73,11 @@ def _mlp(p, x):
 
 
 def _ffn_clip(p, x):
-    """ln_2 + MLP (QuickGELU); fused pallas kernel on TPU."""
+    """ln_2 + MLP (QuickGELU). Pallas FFN kernel is opt-in (STGCMA_FUSED_FFN=1;
+    measured slower than XLA's fusion here — BENCH_NOTES.md)."""
+    import os
     from ..ops.pallas_attn import ffn_megakernel, fused_attention_enabled
-    if fused_attention_enabled():
+    if os.environ.get("STGCMA_FUSED_FFN") == "1" and fused_attention_enabled():
         return ffn_megakernel(p["mlp"], p["ln_2"], x, act="quick_gelu",
                               keys=("c_fc", "c_proj"))
     return _mlp(p, layernorm(p["ln_2"], x))

@@ -186,8 +186,11 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
 
 
 def _ffn(p, x):
-    """FFN (LN+fc1+gelu+fc2); fused pallas kernel on TPU."""
-    if fused_attention_enabled():
+    """FFN (LN+fc1+gelu+fc2). The pallas FFN megakernel measured ~3% SLOWER
+    than XLA's own fusion for these shapes (BENCH_NOTES.md), so it is opt-in
+    via STGCMA_FUSED_FFN=1."""
+    import os
+    if os.environ.get("STGCMA_FUSED_FFN") == "1" and fused_attention_enabled():
         from ..ops.pallas_attn import ffn_megakernel
         return ffn_megakernel(p["mlp"], p["norm2"], x)
     return mlp_apply(p["mlp"], layernorm(p["norm2"], x))
