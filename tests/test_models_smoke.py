@@ -55,3 +55,24 @@ def test_avqa_shapes():
     assert out_qa.shape == (B, hcfg.answer_dim)
     assert m_pos.shape == (B * 2, 2) and m_neg.shape == (B * 2, 2)
     assert np.isfinite(np.asarray(out_qa)).all()
+
+
+def test_clip_fusion_equals_multimodal_at_init():
+    """CLIP zero-init adapters: fusion exchange is a no-op at init, so fusion
+    and multimodal-no-fusion produce identical features with shared weights."""
+    from stgcma_tpu.nn import clip_vit
+    cfg_f = clip_tiny_test(ftmode="fusion")
+    cfg_m = clip_tiny_test(ftmode="multimodal")
+    params = ave.init_clip_ave(jax.random.PRNGKey(5), cfg_f)
+    B = 1
+    k = jax.random.PRNGKey(6)
+    v = jax.random.normal(k, (B, cfg_f.num_frames, cfg_f.input_resolution,
+                              cfg_f.input_resolution, 3))
+    a = jax.random.normal(k, (B, cfg_f.num_frames, cfg_f.audio_tdim,
+                              cfg_f.audio_fdim))
+    f1 = clip_vit.clip_backbone_apply(params["backbone"], cfg_f, a=a, v=v)
+    f2 = clip_vit.clip_backbone_apply(params["backbone"], cfg_m, a=a, v=v)
+    np.testing.assert_allclose(np.asarray(f1["v"]), np.asarray(f2["v"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f1["a"]), np.asarray(f2["a"]),
+                               rtol=1e-5, atol=1e-5)

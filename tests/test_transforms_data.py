@@ -133,3 +133,43 @@ def test_mixup_batch():
     # prob=0 -> identity
     w0, f0, l0 = T.mixup_batch(k, waves, frames, labels, mixup_prob=0.0)
     np.testing.assert_allclose(np.asarray(w0), np.asarray(waves))
+
+
+def test_avqa_vocab_and_question_encoding(tmp_path):
+    import json as _json
+    from stgcma_tpu.data.datasets import build_avqa_vocab, encode_question
+    samples = [
+        {"video_id": "v1", "question_id": 1, "type": ["Audio", "Counting"],
+         "question_content": "how many <Object> are there?",
+         "templ_values": "[\"drums\"]", "anser": "two"},
+        {"video_id": "v2", "question_id": 2, "type": ["Visual", "Location"],
+         "question_content": "where is the <Object>?",
+         "templ_values": "[\"piano\"]", "anser": "left"},
+    ]
+    p = tmp_path / "train.json"
+    p.write_text(_json.dumps(samples))
+    word2idx, ans2idx = build_avqa_vocab(str(p))
+    assert word2idx["<pad>"] == 0
+    assert "drums" in word2idx and "piano" in word2idx
+    assert ans2idx == {"two": 0, "left": 1}
+    ids = encode_question(samples[0]["question_content"],
+                          samples[0]["templ_values"], word2idx)
+    assert ids.shape == (14,)
+    assert ids[2] == word2idx["drums"]  # templ substitution at '<Object>'
+    assert ids[-1] == 0  # padded
+
+
+def test_ave_dataset_corrupted_fallback(tmp_path):
+    """Missing files produce the reference's substitute tensors, not a crash."""
+    import h5py
+    from stgcma_tpu.data.datasets import AVEDataset
+    order_p, labels_p = str(tmp_path / "o.h5"), str(tmp_path / "l.h5")
+    with h5py.File(order_p, "w") as f:
+        f["order"] = np.array([0])
+    with h5py.File(labels_p, "w") as f:
+        f["avadataset"] = np.zeros((1, 10, 29), np.float32)
+    ds = AVEDataset(order_p, labels_p, str(tmp_path / "frames"),
+                    str(tmp_path / "audio"), num_frames=10)
+    item = ds[0]
+    assert item["frames"].shape == (10, 224, 224, 3)
+    assert item["wave"].shape == (10, 16000)
