@@ -673,7 +673,8 @@ def cross_modal_fuse_flash(v_hidden, a_hidden, gate_v, gate_a,
     the token count justifies it (joint/global fusion over full stage grids)."""
     from .attention import cross_modal_fuse
     N = v_hidden.shape[1]
-    if N < min_tokens or jax.default_backend() == "cpu":
+    if N < min_tokens or not fused_attention_enabled() \
+            or jax.default_backend() == "cpu":
         # CPU: interpret-mode pallas is debug-speed; XLA naive is the fast path
         return cross_modal_fuse(v_hidden, a_hidden, gate_v, gate_a)
     dt = v_hidden.dtype
