@@ -8,7 +8,6 @@ D_fc2 is zero-initialized so a freshly-initialized adapter is a no-op
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..ops.common import gelu, linear, linear_init, zeros_linear
 

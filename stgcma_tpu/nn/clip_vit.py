@@ -10,7 +10,7 @@ a torch MHA artifact and are algebraically transparent).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -6,10 +6,8 @@ All convs are channel-last (NHWC).
 """
 from __future__ import annotations
 
-from typing import Dict, List
 
 import jax
-import jax.numpy as jnp
 
 from ..ops.conv import conv2d, conv2d_init
 from ..ops.resize import resize_bilinear

@@ -6,7 +6,6 @@ Reference call site: AVQA QstEncoder (AVQA/model/Swin_AVQAModel_V1.py:37-59).
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,13 +10,13 @@ Outputs the 4 stage feature maps consumed by the AVS decoder
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.common import (gelu, layernorm, layernorm_init, linear, linear_init)
-from ..ops.conv import conv2d, conv2d_init
+from ..ops.conv import conv2d
 
 B5 = dict(embed_dims=(64, 128, 320, 512), num_heads=(1, 2, 5, 8),
           mlp_ratios=(4, 4, 4, 4), depths=(3, 6, 40, 3), sr_ratios=(8, 4, 2, 1))

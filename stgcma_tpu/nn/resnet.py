@@ -8,7 +8,6 @@ state_dict loads via checkpoint.torch_convert.load_resnet18.
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Dict
 
 import jax

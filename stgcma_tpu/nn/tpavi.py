@@ -8,7 +8,6 @@ Layout: visual features flow as (B, T, H, W, C) channel-last.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,12 +10,11 @@ Reference semantics:
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from .common import linear, softmax_f32
+from .common import linear
 
 
 def _split_heads(x, num_heads):

@@ -8,7 +8,6 @@ LayerNorm/softmax always compute in float32 and cast back (TPU bf16 policy).
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ torch OIHW / OIDHW accordingly. Replaces cuDNN Conv2d/Conv3d call sites
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

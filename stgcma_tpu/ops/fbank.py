@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
-from typing import Optional, Tuple
 
 import numpy as np
 import jax

@@ -12,7 +12,6 @@ Design:
 from __future__ import annotations
 
 import re
-from typing import Any, Optional, Sequence
 
 import numpy as np
 import jax

@@ -8,7 +8,7 @@ jit-compiled inference fn; requests are dispatched by task name.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import numpy as np
 import jax

@@ -13,7 +13,7 @@ Reference semantics:
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
