@@ -86,11 +86,15 @@ def _ffn_clip(p, x):
 def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
     """temporal adaptation: attention over the frame axis + no-skip T_Adapter +
     residual (CLIP_AVE.py:131-135). x: (B*T, N, C)."""
+    from ..ops.pallas_attn import clip_temporal_megakernel, fused_attention_enabled
     BT, N, C = x.shape
     B = BT // T
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
-    res = adapter_apply(p[adapter_key], _attention(p, layernorm(p["ln_1"], xt), heads),
-                        skip=False)
+    if fused_attention_enabled() and heads <= 16:
+        attn_out = clip_temporal_megakernel(p["attn"], p["ln_1"], xt, heads)
+    else:
+        attn_out = _attention(p, layernorm(p["ln_1"], xt), heads)
+    res = adapter_apply(p[adapter_key], attn_out, skip=False)
     xt = xt + res
     return xt.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(BT, N, C)
 

@@ -620,6 +620,24 @@ def ffn_megakernel(mlp_p, ln, x, act: str = "gelu",
     return out.reshape(shape)
 
 
+def clip_temporal_megakernel(attn_p, ln, x, num_heads: int):
+    """CLIP temporal-axis self-attention fused: LN + packed in_proj + attention
+    + out_proj in one VMEM pass (drop-in for
+    mha(attn_p, LN(x), ...) over the T<=16 frame axis). x: (B*N, T, C)."""
+    B_, T, C = x.shape
+    TP = _round_up(T, 16)
+    bm = np.zeros((1, num_heads, TP, TP), np.float32)
+    if TP != T:
+        bm[..., T:] = -1e30
+        x = jnp.pad(x, ((0, 0), (0, TP - T), (0, 0)))
+    rest = {"bqkv": attn_p["in_proj"]["bias"],
+            "wproj": attn_p["out_proj"]["kernel"],
+            "bproj": attn_p["out_proj"]["bias"]}
+    out = _win_block_op(x, ln["scale"], ln["bias"], attn_p["in_proj"]["kernel"],
+                        rest, jnp.asarray(bm), num_heads)
+    return out[:, :T, :]
+
+
 def mha_self_fused(p, x, num_heads: int):
     """Dense self-attention (CLIP ResidualAttentionBlock.attention) through the
     W-MSA kernel with a zero bias — logits stay in VMEM instead of XLA

@@ -270,3 +270,25 @@ def test_ffn_megakernel_matches_naive():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_clip_temporal_megakernel_matches_naive():
+    from stgcma_tpu.ops.attention import mha
+    from stgcma_tpu.ops.common import layernorm
+    from stgcma_tpu.ops.pallas_attn import clip_temporal_megakernel
+    k = jax.random.PRNGKey(15)
+    B_, T, C, h = 21, 10, 32, 4
+    p = {"in_proj": {"kernel": jax.random.normal(k, (C, 3 * C)) * 0.05,
+                     "bias": jax.random.normal(jax.random.fold_in(k, 1),
+                                               (3 * C,)) * 0.01},
+         "out_proj": {"kernel": jax.random.normal(jax.random.fold_in(k, 2),
+                                                  (C, C)) * 0.05,
+                      "bias": jax.random.normal(jax.random.fold_in(k, 6),
+                                                (C,)) * 0.01}}
+    ln = {"scale": 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(k, 3), (C,)),
+          "bias": 0.1 * jax.random.normal(jax.random.fold_in(k, 4), (C,))}
+    x = jax.random.normal(jax.random.fold_in(k, 5), (B_, T, C))
+    ref = mha(p, layernorm(ln, x), layernorm(ln, x), layernorm(ln, x), h)
+    out = clip_temporal_megakernel(p, ln, x, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
