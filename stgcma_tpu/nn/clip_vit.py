@@ -68,6 +68,14 @@ def _attention(p, x, heads: int):
     return mha(p["attn"], x, x, x, heads)
 
 
+def _attn_ln(p, x, heads: int):
+    """ln_1 + self-attention, LN fused into the kernel on TPU."""
+    from ..ops.pallas_attn import clip_temporal_megakernel, fused_attention_enabled
+    if fused_attention_enabled() and heads <= 16:
+        return clip_temporal_megakernel(p["attn"], p["ln_1"], x, heads)
+    return _attention(p, layernorm(p["ln_1"], x), heads)
+
+
 def _mlp(p, x):
     return linear(p["mlp"]["c_proj"], quick_gelu(linear(p["mlp"]["c_fc"], x)))
 
@@ -103,8 +111,7 @@ def _single(p, x, cfg: ClipConfig, sfx: str):
     """video_adapt / audio_adapt (CLIP_AVE.py:128-143, 160-174)."""
     h = cfg.heads
     x = _t_adapt(p, x, h, cfg.num_frames, "T_Adapter" + sfx)
-    x = x + adapter_apply(p["S_Adapter" + sfx], _attention(p, layernorm(p["ln_1"], x), h),
-                          skip=True)
+    x = x + adapter_apply(p["S_Adapter" + sfx], _attn_ln(p, x, h), skip=True)
     xn = _ffn_clip(p, x)
     return x + xn + adapter_apply(p["MLP_Adapter" + sfx], xn, skip=False)
 
@@ -115,8 +122,8 @@ def _fusion(p, v, a, cfg: ClipConfig):
     v = _t_adapt(p, v, h, cfg.num_frames, "T_Adapter")
     a = _t_adapt(p, a, h, cfg.num_frames, "T_Adapter_Audio")
 
-    vs = _attention(p, layernorm(p["ln_1"], v), h)
-    a_s = _attention(p, layernorm(p["ln_1"], a), h)
+    vs = _attn_ln(p, v, h)
+    a_s = _attn_ln(p, a, h)
     vs_h = adapter_hidden(p["S_Adapter"], vs)
     as_h = adapter_hidden(p["S_Adapter_Audio"], a_s)
     vs_h, as_h = cross_modal_fuse(vs_h, as_h, p["gate_v"], p["gate_a"])
