@@ -13,3 +13,12 @@ to AVE-29 / MUSIC-AVQA / AVSBench tasks), designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("STGCMA_PLATFORM"):
+    # honor the platform override for ANY package entry point (the axon image
+    # pins jax_platforms to the TPU plugin at interpreter start, so a plain
+    # JAX_PLATFORMS env var is ignored)
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["STGCMA_PLATFORM"])
