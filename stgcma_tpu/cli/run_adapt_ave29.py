@@ -53,10 +53,13 @@ def parse_args(argv=None):
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--dataset_mean", type=float, default=-5.081)
     p.add_argument("--dataset_std", type=float, default=4.485)
+    # waveform mixup probability (reference default 0 — AVE/run_adapt_ave29.py)
+    p.add_argument("--mixup", type=float, default=0.0)
     # data roots (replacing hard-coded ./STG-CMA/... paths)
     p.add_argument("--train_order_h5", default="")
     p.add_argument("--test_order_h5", default="")
     p.add_argument("--labels_h5", default="")
+    p.add_argument("--annotations_txt", default="")
     p.add_argument("--frames_root", default="")
     p.add_argument("--audio_root", default="")
     p.add_argument("--synthetic", type=str2bool, default=False)
@@ -87,6 +90,9 @@ def make_eval_fn(apply_fn, pipe, label_dim):
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-host bring-up (no-op unless STGCMA_COORDINATOR/_DISTRIBUTED set)
+    from ..runtime.mesh import init_distributed
+    init_distributed()
     rng = seed_everything(0)
     archive_args(args, args.exp_dir)
 
@@ -117,9 +123,11 @@ def main(argv=None):
                              size=img, label_dim=args.n_class, seed=10_000)
     else:
         tr_ds = AVEDataset(args.train_order_h5, args.labels_h5, args.frames_root,
-                           args.audio_root, cfg.num_frames, mode="train")
+                           args.audio_root, cfg.num_frames, mode="train",
+                           annotations_txt=args.annotations_txt)
         te_ds = AVEDataset(args.test_order_h5, args.labels_h5, args.frames_root,
-                           args.audio_root, cfg.num_frames, mode="eval")
+                           args.audio_root, cfg.num_frames, mode="eval",
+                           annotations_txt=args.annotations_txt)
 
     tr = DataLoader(tr_ds, args.batch_size, shuffle=True,
                     num_workers=args.num_workers)
@@ -128,7 +136,7 @@ def main(argv=None):
 
     train_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
                                           args.dataset_std, train=True,
-                                          image_size=img)
+                                          image_size=img, mixup=args.mixup)
     eval_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
                                          args.dataset_std, train=False,
                                          image_size=img)

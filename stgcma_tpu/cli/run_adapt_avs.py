@@ -101,6 +101,9 @@ def build(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-host bring-up (no-op unless STGCMA_COORDINATOR/_DISTRIBUTED set)
+    from ..runtime.mesh import init_distributed
+    init_distributed()
     rng = seed_everything(0)
     archive_args(args, args.exp_dir)
     cfg, hcfg = build(args)

@@ -100,12 +100,22 @@ class AVEDataset:
     labels (10, 29) one-hot f32."""
 
     def __init__(self, order_h5: str, labels_h5: str, frames_root: str,
-                 audio_root: str, num_frames: int = 10, mode: str = "eval"):
+                 audio_root: str, num_frames: int = 10, mode: str = "eval",
+                 annotations_txt: str = ""):
         import h5py
         with h5py.File(order_h5, "r") as f:
             self.order = np.asarray(f["order"])
         with h5py.File(labels_h5, "r") as f:
             self.labels = np.asarray(f["avadataset"], np.float32)
+        # Annotations.txt: '&'-separated rows, column 1 = video file name;
+        # order entries index into it (AVE/dataloader.py:129 raw_gt +
+        # :489 file_name = raw_gt.iloc[real_idx][1], read with header=None so
+        # any header line counts as row 0, exactly like the reference).
+        self.file_names: Optional[List[str]] = None
+        if annotations_txt:
+            with open(annotations_txt) as f:
+                self.file_names = [ln.rstrip("\n").split("&")[1]
+                                   for ln in f if ln.strip()]
         self.frames_root = frames_root
         self.audio_root = audio_root
         self.num_frames = num_frames
@@ -119,7 +129,10 @@ class AVEDataset:
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         vid = self.order[i]
-        vid_s = vid.decode() if isinstance(vid, bytes) else str(vid)
+        if self.file_names is not None:
+            vid_s = self.file_names[int(vid)]
+        else:
+            vid_s = vid.decode() if isinstance(vid, bytes) else str(vid)
         # corrupted-sample fallbacks mirror the reference's 0.01-filled
         # substitutes + warning (AVE/dataloader.py:246-248,311-316,501-505)
         try:

@@ -92,10 +92,13 @@ class DataLoader:
 def make_ave_device_pipeline(fbank_cfg: FbankConfig = SWIN_FBANK,
                              target_length: int = 224,
                              norm_mean: float = -5.081, norm_std: float = 4.485,
-                             train: bool = False, image_size: int = 224):
+                             train: bool = False, image_size: int = 224,
+                             mixup: float = 0.0):
     """jit: raw uint8 frames + wave segments -> model-ready (a, v) tensors.
     Default fbank norm stats follow the reference launch-script values
-    (AVE/run_swin_adapt_ave29.sh dataset_mean/std flags)."""
+    (AVE/run_swin_adapt_ave29.sh dataset_mean/std flags). mixup > 0 enables
+    the reference's waveform mixup (AVE/dataloader.py:491-497) on the train
+    path — audio only, per-second Beta(10,10) lambdas."""
 
     @jax.jit
     def eval_pipe(batch):
@@ -108,10 +111,14 @@ def make_ave_device_pipeline(fbank_cfg: FbankConfig = SWIN_FBANK,
     @jax.jit
     def train_pipe(batch, rng):
         B = batch["frames"].shape[0]
-        rngs = jax.random.split(rng, B)
+        k_mix, k_aug = jax.random.split(rng)
+        rngs = jax.random.split(k_aug, B)
         v = jax.vmap(lambda r, c: transforms.train_transform(r, c, image_size))(
             rngs, batch["frames"])
-        a = fbank_image(batch["wave"], fbank_cfg, target_length,
+        wave = batch["wave"]
+        if mixup > 0:
+            wave = transforms.mixup_batch(k_mix, wave, mixup_prob=mixup)
+        a = fbank_image(wave, fbank_cfg, target_length,
                         norm_mean, norm_std)
         return a, v
 

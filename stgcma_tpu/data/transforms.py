@@ -311,24 +311,25 @@ def random_erasing(rng, clip, p: float = 0.25, scale=(0.02, 1. / 3.),
     return jnp.where(do & inside, noise, clip)
 
 
-def mixup_batch(rng, waves, frames, labels, mixup_prob: float = 0.5,
-                alpha: float = 10.0):
-    """AVE-style mixup (AVE/dataloader.py:204-272, 487-522): per-sample
-    Beta(10,10) lambda mixes the raw waveform, the frames, and the one-hot
-    labels with a random partner (batch roll); applied with prob `mixup_prob`.
+def mixup_batch(rng, waves, mixup_prob: float = 0.5, alpha: float = 10.0):
+    """Reference AVE mixup (AVE/dataloader.py:204-230 + 491-497): with prob
+    `mixup_prob` per sample, mix the centered waveform with a random partner's
+    waveform using a FRESH Beta(10,10) lambda per second. Frames and labels are
+    NOT mixed — the reference discards _wav2fbank's returned mix_lambda.
 
-    waves: (B, T, L); frames: (B, T, H, W, C) float; labels: (B, T, C)."""
-    B = waves.shape[0]
-    k1, k2 = jax.random.split(rng)
-    lam = jax.random.beta(k1, alpha, alpha, (B,))
+    Centered-waveform mixing commutes with segment cutting (the re-centering in
+    _wav2fbank is a no-op on already-centered operands), so mixing the
+    per-second segments device-side is exact.
+
+    waves: (B, T, L) centered waveform segments -> mixed (B, T, L)."""
+    B, T = waves.shape[0], waves.shape[1]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    lam = jax.random.beta(k1, alpha, alpha, (B, T)).astype(waves.dtype)
     do = jax.random.bernoulli(k2, mixup_prob, (B,))
-    lam = jnp.where(do, lam, 1.0)
-
-    def mix(x):
-        l = lam.reshape((B,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-        return l * x + (1 - l) * jnp.roll(x, 1, axis=0)
-
-    return mix(waves), mix(frames), mix(labels)
+    lam = jnp.where(do[:, None], lam, 1.0)
+    partner = jax.random.randint(k3, (B,), 0, B)
+    l = lam[..., None]
+    return l * waves + (1 - l) * waves[partner]
 
 
 def train_transform(rng, clip_uint8, size: int = 224, magnitude: float = 7.0,

@@ -84,6 +84,9 @@ def apply_avs_pvt(params, hcfg: AVSHeadConfig, audio_feat, frames, train=False):
     for i in (2, 1, 0):
         x = ffb_apply(hp[f"path{i+1}"], x, feature_map_list[i])
     pred = output_conv_apply(hp["output_conv"], x)
+    # mirror the reference's in-place-ReLU mutation of the returned maps
+    # (see apply_avs)
+    feature_map_list = [jax.nn.relu(fm) for fm in feature_map_list]
     return pred, feature_map_list, a_fea_list
 
 
@@ -129,4 +132,8 @@ def apply_avs(params, cfg: SwinConfig, hcfg: AVSHeadConfig, a, v, train=False):
         x = ffb_apply(hp[f"path{i+1}"], x, feature_map_list[i])
 
     pred = output_conv_apply(hp["output_conv"], x)  # (B*T, 224, 224, 1) at full cfg
+    # The reference's in-place ReLU inside ResidualConvUnit mutates every map
+    # it receives, so the feature_map_list the caller (and the A-MaskedV simm
+    # loss, AVS/loss.py:46) sees is relu(fm) — mirror that exactly.
+    feature_map_list = [jax.nn.relu(fm) for fm in feature_map_list]
     return pred, feature_map_list, a_fea_list

@@ -36,12 +36,17 @@ def rcu_init(key, features: int):
 
 
 def rcu_apply(p, x):
-    """ResidualConvUnit (Swin_AVSModel.py:47-78)."""
-    out = jax.nn.relu(x)
-    out = conv2d(p["conv1"], out, padding=1)
+    """ResidualConvUnit (Swin_AVSModel.py:47-78).
+
+    The reference's nn.ReLU(inplace=True) mutates its input, so `out + x` at
+    Swin_AVSModel.py:78 actually adds relu(x), NOT x — the true semantics are
+    conv2(relu(conv1(relu(x)))) + relu(x). Verified against the torch model in
+    tests/test_ref_model_parity.py::test_avs_fusion_parity."""
+    xr = jax.nn.relu(x)
+    out = conv2d(p["conv1"], xr, padding=1)
     out = jax.nn.relu(out)
     out = conv2d(p["conv2"], out, padding=1)
-    return out + x
+    return out + xr
 
 
 def ffb_init(key, features: int):

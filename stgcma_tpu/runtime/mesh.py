@@ -18,6 +18,58 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None,
+                     local_device_ids=None) -> bool:
+    """Multi-host bring-up: call jax.distributed.initialize() from explicit
+    args or the environment, before any device access.
+
+    Sources (first hit wins per field):
+      1. explicit arguments,
+      2. STGCMA_COORDINATOR / STGCMA_NUM_PROCESSES / STGCMA_PROCESS_ID,
+      3. cluster auto-detection (SLURM/GKE/etc.) via bare
+         jax.distributed.initialize() when STGCMA_DISTRIBUTED=1.
+
+    Returns True if distributed mode was initialized, False for the
+    single-process fallback (no env, no args). Safe to call twice (no-op if
+    the client is already up). Replaces the reference's nn.DataParallel
+    single-host scatter/gather (SURVEY §2.12) with a multi-controller SPMD
+    runtime: after this, make_mesh() sees every process's devices and the
+    same jit-ted train step runs on all hosts with XLA collectives over
+    ICI/DCN.
+    """
+    import os
+
+    try:  # no-op if a distributed client is already up
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return True
+    except Exception:
+        pass
+    coordinator = coordinator or os.environ.get("STGCMA_COORDINATOR")
+    num_processes = num_processes if num_processes is not None else \
+        _int_env("STGCMA_NUM_PROCESSES")
+    process_id = process_id if process_id is not None else \
+        _int_env("STGCMA_PROCESS_ID")
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id,
+                                   local_device_ids=local_device_ids)
+        return True
+    if os.environ.get("STGCMA_DISTRIBUTED") == "1":
+        jax.distributed.initialize()  # cluster auto-detection
+        return True
+    return False
+
+
+def _int_env(name: str):
+    import os
+    v = os.environ.get(name)
+    return int(v) if v is not None else None
+
+
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     """Create a ('data', 'model') mesh. data=-1 uses all remaining devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())

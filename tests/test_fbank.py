@@ -92,3 +92,18 @@ def test_segment_starts_matches_reference_linspace():
     ours = segment_starts(L, 16000, 10)
     ref = np.linspace(0, L - 16000 * 1.1, num=10, dtype=int)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_fbank_matches_frozen_golden():
+    """Regression pin: committed golden arrays (tests/fixtures/*.npy) freeze the
+    kaldi math on disk, so a change that shifts BOTH the jax implementation and
+    the in-test oracle (shared-assumption drift) still fails."""
+    import os
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    wave = np.load(os.path.join(fix, "fbank_golden_wave.npy"))
+    g_swin = np.load(os.path.join(fix, "fbank_golden_swin_224_4p4.npy"))
+    g_clip = np.load(os.path.join(fix, "fbank_golden_clip_128_10.npy"))
+    ours_swin = np.asarray(fbank(jnp.asarray(wave), SWIN_FBANK))
+    ours_clip = np.asarray(fbank(jnp.asarray(wave), CLIP_FBANK))
+    np.testing.assert_allclose(ours_swin, g_swin, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ours_clip, g_clip, rtol=2e-3, atol=2e-3)

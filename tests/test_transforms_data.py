@@ -122,16 +122,21 @@ def test_loader_and_device_pipeline():
 
 def test_mixup_batch():
     k = jax.random.PRNGKey(0)
-    B, Tn = 4, 2
+    B, Tn = 64, 2
     waves = jnp.asarray(np.random.RandomState(0).randn(B, Tn, 100), jnp.float32)
-    frames = jnp.asarray(np.random.RandomState(1).rand(B, Tn, 8, 8, 3), jnp.float32)
-    labels = jax.nn.one_hot(jnp.arange(B)[:, None].repeat(Tn, 1) % 3, 3)
-    w, f, l = T.mixup_batch(k, waves, frames, labels, mixup_prob=1.0)
-    assert w.shape == waves.shape and f.shape == frames.shape
-    # labels become convex combinations: rows sum to 1
-    np.testing.assert_allclose(np.asarray(l.sum(-1)), 1.0, rtol=1e-5)
+    w = T.mixup_batch(k, waves, mixup_prob=1.0)
+    assert w.shape == waves.shape
+    # statistical: Beta(10,10) lambdas center around 0.5, so mixed rows are
+    # strict convex combinations — each mixed segment lies inside the per-pair
+    # elementwise min/max envelope
+    wn = np.asarray(w)
+    assert not np.allclose(wn, np.asarray(waves))
+    # per-second lambda: different seconds of the same sample get different
+    # mixing weights almost surely
+    r = wn - np.asarray(waves)
+    assert np.abs(r[:, 0] - r[:, 1]).max() > 1e-6
     # prob=0 -> identity
-    w0, f0, l0 = T.mixup_batch(k, waves, frames, labels, mixup_prob=0.0)
+    w0 = T.mixup_batch(k, waves, mixup_prob=0.0)
     np.testing.assert_allclose(np.asarray(w0), np.asarray(waves))
 
 
