@@ -94,16 +94,25 @@ def _ffn_clip(p, x):
 def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
     """temporal adaptation: attention over the frame axis + no-skip T_Adapter +
     residual (CLIP_AVE.py:131-135). x: (B*T, N, C)."""
-    from ..ops.pallas_attn import clip_temporal_megakernel, fused_attention_enabled
+    from ..ops.pallas_attn import fused_attention_enabled
     BT, N, C = x.shape
     B = BT // T
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
-    if fused_attention_enabled() and heads <= 16:
+    import os
+    from ..ops.pallas_attn import clip_temporal_megakernel
+    if fused_attention_enabled() and heads <= 16 \
+            and jax.default_backend() != "cpu" \
+            and os.environ.get("STGCMA_CLIP_TADAPT_FUSED", "1") == "1":
+        # one kernel: LN + qkv + attn + proj + T_Adapter + residual
+        from ..ops.pallas_clip_block import clip_temporal_adapt_block
+        xt = clip_temporal_adapt_block(p["attn"], p["ln_1"], p[adapter_key],
+                                       xt, heads)
+    elif fused_attention_enabled() and heads <= 16:
         attn_out = clip_temporal_megakernel(p["attn"], p["ln_1"], xt, heads)
+        xt = xt + adapter_apply(p[adapter_key], attn_out, skip=False)
     else:
         attn_out = _attention(p, layernorm(p["ln_1"], xt), heads)
-    res = adapter_apply(p[adapter_key], attn_out, skip=False)
-    xt = xt + res
+        xt = xt + adapter_apply(p[adapter_key], attn_out, skip=False)
     return xt.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(BT, N, C)
 
 
@@ -121,6 +130,15 @@ def _fusion(p, v, a, cfg: ClipConfig):
     h = cfg.heads
     v = _t_adapt(p, v, h, cfg.num_frames, "T_Adapter")
     a = _t_adapt(p, a, h, cfg.num_frames, "T_Adapter_Audio")
+
+    import os
+    from ..ops.pallas_attn import fused_attention_enabled
+    if fused_attention_enabled() and h <= 16 and jax.default_backend() != "cpu" \
+            and os.environ.get("STGCMA_CLIP_WHOLE_BLOCK", "1") == "1":
+        # whole-block megakernel: spatial attn + dual STG-CMA fusion + FFN
+        # in one VMEM pass (ops/pallas_clip_block.py)
+        from ..ops.pallas_clip_block import clip_fusion_spatial_block
+        return clip_fusion_spatial_block(p, v, a, h)
 
     vs = _attn_ln(p, v, h)
     a_s = _attn_ln(p, a, h)
