@@ -1,8 +1,10 @@
-"""Benchmark: AVE Swin-Base fusion inference throughput (AV clips/sec/chip).
+"""Benchmark: AVE fusion inference throughput (AV clips/sec/chip) + extras.
 
 North-star metric from BASELINE.json: >= 500 AV clips/sec/chip on v5e for
 AVE-29 inference (10 frames video + 10 fbank seconds per clip, both 224x224,
-through the full dual-stream Swin-Base fusion backbone + head).
+through the full dual-stream fusion backbone + head), plus the TPU-resident
+preprocess pipeline (fbank + frame transforms) in GB/s, plus training
+steps/sec.
 
 Measurement notes: this container reaches the chip through a relay with
 ~0.5 s per-dispatch latency and an unreliable block_until_ready, so the steady
@@ -10,7 +12,10 @@ state is measured on-device: a lax.scan chains N forwards with a data
 dependence (carry perturbs the input, preventing CSE), and two scan lengths
 are differenced to cancel the fixed dispatch+fetch overhead.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+The primary metric is the BASELINE.json configs[0] model (CLIP-B/16 fusion);
+`extras` carries the preprocess-GB/s and train-steps/s companion metrics.
+Env knobs: BENCH_MODEL=swin-base, BENCH_BATCH=N, BENCH_EXTRAS=0.
 """
 from __future__ import annotations
 
@@ -22,23 +27,29 @@ import time
 import numpy as np
 
 
-def main():
+def _timed_scan(fn, reps=6, n_small=2, n_large=12):
+    """Per-iteration steady-state time via scan-length differencing."""
+    float(fn(n_small))
+    float(fn(n_large))
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(n_large) - timed(n_small)) / (n_large - n_small)
+
+
+def _bench_infer(model: str, B: int):
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/stgcma_jax_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     from stgcma_tpu.configs import clip_b16, swin_base
     from stgcma_tpu.models import ave
     from stgcma_tpu.ops.common import cast_tree
 
-    # BASELINE.json configs[0] is "AVE-29: CLIP ViT-B/16 + STG-CMA adapter";
-    # BENCH_MODEL=swin-base measures the windowed Swin flagship instead
-    # (see BENCH_NOTES.md for both numbers).
-    model = os.environ.get("BENCH_MODEL", "clip-b16")
-    B = int(os.environ.get("BENCH_BATCH", "8"))
     rng = np.random.RandomState(0)
     if model == "swin-base":
         cfg = swin_base(ftmode="fusion", label_dim=29)
@@ -59,7 +70,7 @@ def main():
     @functools.partial(jax.jit, static_argnums=(3,))
     def fwd_many(params, a, v, n):
         def body(carry, _):
-            # carry-perturbed input defeats loop hoisting; cast keeps bf16 compute
+            # carry-perturbed input defeats loop hoisting; cast keeps bf16
             logits = apply_fn(params, cfg,
                               a + (carry * 1e-8).astype(jnp.bfloat16), v)
             return logits.astype(jnp.float32).mean() * 1e-6, None
@@ -68,33 +79,148 @@ def main():
 
     a = jnp.asarray(rng.randn(*a_shape), jnp.bfloat16)
     v = jnp.asarray(rng.randn(*v_shape), jnp.bfloat16)
+    per_iter = _timed_scan(lambda n: fwd_many(params, a, v, n))
+    return B / per_iter
 
-    n_small, n_large = 2, 12
-    # compile both variants (fetch forces real execution through the relay)
-    float(fwd_many(params, a, v, n_small))
-    float(fwd_many(params, a, v, n_large))
 
-    def timed(n, reps=6):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fwd_many(params, a, v, n))
-            best = min(best, time.perf_counter() - t0)
-        return best
+def _bench_preprocess(B: int):
+    """TPU-resident eval preprocess: uint8 frames + raw wave -> (a, v).
+    Reports input GB/s (the BASELINE.json 'fbank+frame preprocess' metric)."""
+    import jax
+    import jax.numpy as jnp
+    from stgcma_tpu.data import transforms
+    from stgcma_tpu.ops.fbank import SWIN_FBANK, fbank_image
 
-    t_small = timed(n_small)
-    t_large = timed(n_large)
-    per_iter = (t_large - t_small) / (n_large - n_small)
-    clips_per_sec = B / per_iter
+    rng = np.random.RandomState(1)
+    T, S, sr = 10, 256, 16000
+    frames = jnp.asarray(rng.randint(0, 255, (B, T, S, S, 3)), jnp.uint8)
+    wave = jnp.asarray(rng.randn(B, T, sr), jnp.float32)  # 1-s segments
 
-    dev = jax.devices()[0]
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def pipe_many(frames, wave, n):
+        def body(carry, _):
+            w = wave + carry * 1e-8
+            v = jax.vmap(lambda c: transforms.eval_transform(c, 224))(frames)
+            a = fbank_image(w, SWIN_FBANK, 224, -5.081, 4.485)
+            return (a.astype(jnp.float32).mean() * 1e-6
+                    + v.astype(jnp.float32).mean() * 1e-6), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return acc
+
+    per_iter = _timed_scan(lambda n: pipe_many(frames, wave, n))
+    in_bytes = frames.size + wave.size * 4
+    return (in_bytes / per_iter) / 1e9, B / per_iter
+
+
+def _bench_train(model: str, B: int):
+    """Steady-state full training step (fwd+bwd+Adam update), steps/sec."""
+    import jax
+    import jax.numpy as jnp
+    from stgcma_tpu.configs import clip_b16, swin_base
+    from stgcma_tpu.models import ave
+    from stgcma_tpu.train.losses import ave_loss
+
+    rng = np.random.RandomState(2)
+    if model == "swin-base":
+        cfg = swin_base(ftmode="fusion", label_dim=29)
+        params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
+        apply_fn = ave.apply_swin_ave
+        a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
+        v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
+    else:
+        cfg = clip_b16(ftmode="fusion", label_dim=29)
+        params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
+        apply_fn = ave.apply_clip_ave
+        a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
+        v_shape = (B, cfg.num_frames, cfg.input_resolution,
+                   cfg.input_resolution, 3)
+
+    labels = jnp.asarray(rng.rand(B, 10, 29) > 0.9, jnp.float32)
+    a = jnp.asarray(rng.randn(*a_shape), jnp.float32)
+    v = jnp.asarray(rng.randn(*v_shape), jnp.float32)
+
+    from stgcma_tpu.train.optim import build_optimizer, merge_params
+    from stgcma_tpu.train.steps import init_train_state
+    tx = build_optimizer(params, base_lr=5e-4, head_lr_mult=10.0)
+    train_params, frozen_params, opt_state, _ = init_train_state(params, tx)
+    frozen_bf16 = jax.tree_util.tree_map(
+        lambda x: None if x is None else x.astype(jnp.bfloat16), frozen_params,
+        is_leaf=lambda x: x is None)
+
+    def loss_fn(tp, a, v):
+        tp16 = jax.tree_util.tree_map(
+            lambda x: None if x is None else x.astype(jnp.bfloat16), tp,
+            is_leaf=lambda x: x is None)
+        p = merge_params(tp16, frozen_bf16)
+        logits = apply_fn(p, cfg, a.astype(jnp.bfloat16),
+                          v.astype(jnp.bfloat16))
+        return ave_loss(logits, labels)
+
+    import optax
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def train_many(train_params, opt_state, av, n):
+        a, v = av
+
+        def body(carry, _):
+            tp, st = carry
+            loss, grads = jax.value_and_grad(loss_fn)(tp, a, v)
+            grads = jax.tree_util.tree_map(
+                lambda g: None if g is None else g.astype(jnp.float32), grads,
+                is_leaf=lambda x: x is None)
+            updates, st2 = tx.update(grads, st, tp)
+            return (optax.apply_updates(tp, updates), st2), loss
+        (train_params, opt_state), losses = jax.lax.scan(
+            body, (train_params, opt_state), None, length=n)
+        return losses.mean()
+
+    fn = lambda n: train_many(train_params, opt_state, (a, v), n)
+    per_iter = _timed_scan(fn, reps=3, n_small=1, n_large=5)
+    return 1.0 / per_iter
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/stgcma_jax_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # BASELINE.json configs[0] is "AVE-29: CLIP ViT-B/16 + STG-CMA adapter";
+    # BENCH_MODEL=swin-base measures the windowed Swin flagship instead
+    # (see BENCH_NOTES.md for both numbers).
+    model = os.environ.get("BENCH_MODEL", "clip-b16")
+    B = int(os.environ.get("BENCH_BATCH", "8"))
     name = "CLIP-B/16" if model != "swin-base" else "Swin-Base"
+    dev = jax.devices()[0]
+
+    clips_per_sec = _bench_infer(model, B)
+
+    extras = []
+    if os.environ.get("BENCH_EXTRAS", "1") == "1":
+        try:
+            gbps, pp_clips = _bench_preprocess(B)
+            extras.append({
+                "metric": "TPU-resident fbank+frame preprocess throughput",
+                "value": round(gbps, 3), "unit": "GB/s",
+                "clips_per_sec": round(pp_clips, 1)})
+        except Exception as e:  # pragma: no cover
+            extras.append({"metric": "preprocess", "error": repr(e)[:200]})
+        try:
+            sps = _bench_train(model, int(os.environ.get("BENCH_TRAIN_BATCH", "2")))
+            extras.append({
+                "metric": f"AVE {name} fusion train step (fwd+bwd+Adam, B=2, bf16)",
+                "value": round(sps, 3), "unit": "steps/sec"})
+        except Exception as e:  # pragma: no cover
+            extras.append({"metric": "train", "error": repr(e)[:200]})
+
     print(json.dumps({
         "metric": f"AVE {name} fusion inference throughput "
                   f"(bf16, batch={B}, on-device steady state, {dev.device_kind})",
         "value": round(clips_per_sec, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec / 500.0, 3),
+        "extras": extras,
     }))
 
 

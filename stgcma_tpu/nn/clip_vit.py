@@ -102,7 +102,7 @@ def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
     from ..ops.pallas_attn import clip_temporal_megakernel
     if fused_attention_enabled() and heads <= 16 \
             and jax.default_backend() != "cpu" \
-            and os.environ.get("STGCMA_CLIP_TADAPT_FUSED", "1") == "1":
+            and os.environ.get("STGCMA_CLIP_TADAPT_FUSED", "0") == "1":
         # one kernel: LN + qkv + attn + proj + T_Adapter + residual
         from ..ops.pallas_clip_block import clip_temporal_adapt_block
         xt = clip_temporal_adapt_block(p["attn"], p["ln_1"], p[adapter_key],
@@ -134,7 +134,7 @@ def _fusion(p, v, a, cfg: ClipConfig):
     import os
     from ..ops.pallas_attn import fused_attention_enabled
     if fused_attention_enabled() and h <= 16 and jax.default_backend() != "cpu" \
-            and os.environ.get("STGCMA_CLIP_WHOLE_BLOCK", "1") == "1":
+            and os.environ.get("STGCMA_CLIP_WHOLE_BLOCK", "0") == "1":
         # whole-block megakernel: spatial attn + dual STG-CMA fusion + FFN
         # in one VMEM pass (ops/pallas_clip_block.py)
         from ..ops.pallas_clip_block import clip_fusion_spatial_block

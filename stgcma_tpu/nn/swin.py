@@ -287,6 +287,15 @@ def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
         v = _temporal_branch(p, v, st, "video", "T_Adapter")
         a = _temporal_branch(p, a, st, "audio", "T_Adapter_Audio")
 
+    if nega is None:
+        from ..ops.pallas_swin_block import (swin_fusion_whole_block,
+                                             swin_whole_block_enabled)
+        if swin_whole_block_enabled(st):
+            # whole-block megakernel: shifted W-MSA (mask-encoded windows,
+            # no roll/partition/merge HBM copies) + spatial fusion + FFN +
+            # joint fusion in ONE VMEM pass (ops/pallas_swin_block.py)
+            return swin_fusion_whole_block(p, v, a, st)
+
     attn_v, shortcut_v = _spatial_windows(p, v, st)
     attn_a, shortcut_a = _spatial_windows(p, a, st)
 

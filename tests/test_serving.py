@@ -37,3 +37,45 @@ def test_server_dispatch():
     out = srv.predict("ave29", batch)
     assert out.shape == (B * 2, cfg.label_dim)
     assert srv.tasks() == ["ave29"]
+
+
+def test_serve_stream_end_to_end(tmp_path):
+    """Streaming decode path: wav fixtures -> HostDecoder -> device pipeline
+    -> model, with order-preserving micro-batching + tail padding."""
+    import os
+    from stgcma_tpu.data.loader import make_ave_device_pipeline
+    from stgcma_tpu.ops.fbank import FbankConfig
+    from stgcma_tpu.serving import HostDecoder, StreamRequest, serve_stream
+
+    cfg = swin_tiny_test(ftmode="fusion", num_frames=2)
+    srv = MultiTaskServer(dtype=jnp.float32)
+    srv.add_ave("ave29", cfg, ave.init_swin_ave(jax.random.PRNGKey(0), cfg))
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "ave",
+                        "raw_audio")
+    wavs = [os.path.join(fdir, f) for f in sorted(os.listdir(fdir))]
+    rng = np.random.RandomState(0)
+    reqs = [StreamRequest(task="ave29", wav_path=wavs[i % len(wavs)],
+                          frames=rng.randint(0, 255, (2, 64, 64, 3),
+                                             dtype=np.uint8), rid=i)
+            for i in range(5)]
+
+    fb = FbankConfig(num_mel_bins=cfg.img_size)
+    pipe = make_ave_device_pipeline(fbank_cfg=fb, target_length=cfg.img_size,
+                                    image_size=cfg.img_size)
+
+    def ave_pipeline(host):
+        a, v = pipe({"frames": host["frames"], "wave": host["wave"]})
+        return {"a": a, "v": v}
+
+    dec = HostDecoder(num_segments=2, seg_samples=16000)
+    outs = list(serve_stream(srv, {"ave29": ave_pipeline}, reqs,
+                             batch_size=2, decoder=dec))
+    got = {}
+    for rids, logits in outs:
+        assert logits.shape[0] == len(rids) * cfg.num_frames
+        for j, rid in enumerate(rids):
+            got[rid] = logits[j * cfg.num_frames:(j + 1) * cfg.num_frames]
+    assert sorted(got) == list(range(5))
+    for rid in got:
+        assert np.isfinite(got[rid]).all()
