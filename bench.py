@@ -43,7 +43,7 @@ def _timed_scan(fn, reps=6, n_small=2, n_large=12):
     return (timed(n_large) - timed(n_small)) / (n_large - n_small)
 
 
-def _bench_infer(model: str, B: int):
+def _bench_infer(model: str, B: int, int8: bool = False):
     import jax
     import jax.numpy as jnp
     from stgcma_tpu.configs import clip_b16, swin_base
@@ -51,21 +51,32 @@ def _bench_infer(model: str, B: int):
     from stgcma_tpu.ops.common import cast_tree
 
     rng = np.random.RandomState(0)
-    if model == "swin-base":
-        cfg = swin_base(ftmode="fusion", label_dim=29)
+    if model.startswith("swin"):
+        from stgcma_tpu.configs import swin_large
+        mk = swin_large if model == "swin-large" else swin_base
+        cfg = mk(ftmode="fusion", label_dim=29)
         params = cast_tree(ave.init_swin_ave(jax.random.PRNGKey(0), cfg),
                            jnp.bfloat16)
         apply_fn = ave.apply_swin_ave
         a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
         v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
     else:
-        cfg = clip_b16(ftmode="fusion", label_dim=29)
+        from stgcma_tpu.configs import clip_l14
+        mk = clip_l14 if model == "clip-l14" else clip_b16
+        cfg = mk(ftmode="fusion", label_dim=29)
         params = cast_tree(ave.init_clip_ave(jax.random.PRNGKey(0), cfg),
                            jnp.bfloat16)
         apply_fn = ave.apply_clip_ave
         a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
         v_shape = (B, cfg.num_frames, cfg.input_resolution,
                    cfg.input_resolution, 3)
+
+    if int8:
+        from stgcma_tpu.ops.quant import (quantize_clip_tower,
+                                          quantize_swin_tower)
+        qf = quantize_swin_tower if model.startswith("swin") else quantize_clip_tower
+        params = dict(params)
+        params["backbone"] = qf(params["backbone"])
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def fwd_many(params, a, v, n):
@@ -121,7 +132,7 @@ def _bench_train(model: str, B: int):
     from stgcma_tpu.train.losses import ave_loss
 
     rng = np.random.RandomState(2)
-    if model == "swin-base":
+    if model.startswith("swin"):
         cfg = swin_base(ftmode="fusion", label_dim=29)
         params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
         apply_fn = ave.apply_swin_ave
@@ -191,13 +202,23 @@ def main():
     # (see BENCH_NOTES.md for both numbers).
     model = os.environ.get("BENCH_MODEL", "clip-b16")
     B = int(os.environ.get("BENCH_BATCH", "8"))
-    name = "CLIP-B/16" if model != "swin-base" else "Swin-Base"
+    name = {"swin-base": "Swin-Base", "swin-large": "Swin-Large",
+            "clip-l14": "CLIP-L/14"}.get(model, "CLIP-B/16")
     dev = jax.devices()[0]
 
     clips_per_sec = _bench_infer(model, B)
 
     extras = []
     if os.environ.get("BENCH_EXTRAS", "1") == "1":
+        if os.environ.get("BENCH_INT8", "1") == "1":
+            try:
+                cps8 = _bench_infer(model, B, int8=True)
+                extras.append({
+                    "metric": f"AVE {name} fusion inference, int8 frozen "
+                              f"towers (serving mode, batch={B})",
+                    "value": round(cps8, 2), "unit": "clips/sec/chip"})
+            except Exception as e:  # pragma: no cover
+                extras.append({"metric": "int8", "error": repr(e)[:200]})
         try:
             gbps, pp_clips = _bench_preprocess(B)
             extras.append({

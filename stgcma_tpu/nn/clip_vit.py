@@ -71,7 +71,8 @@ def _attention(p, x, heads: int):
 def _attn_ln(p, x, heads: int):
     """ln_1 + self-attention, LN fused into the kernel on TPU."""
     from ..ops.pallas_attn import clip_temporal_megakernel, fused_attention_enabled
-    if fused_attention_enabled() and heads <= 16:
+    if fused_attention_enabled() and heads <= 16 \
+            and "kernel" in p["attn"]["in_proj"]:
         return clip_temporal_megakernel(p["attn"], p["ln_1"], x, heads)
     return _attention(p, layernorm(p["ln_1"], x), heads)
 
@@ -85,7 +86,8 @@ def _ffn_clip(p, x):
     measured slower than XLA's fusion here — BENCH_NOTES.md)."""
     import os
     from ..ops.pallas_attn import ffn_megakernel, fused_attention_enabled
-    if os.environ.get("STGCMA_FUSED_FFN") == "1" and fused_attention_enabled():
+    if os.environ.get("STGCMA_FUSED_FFN") == "1" and fused_attention_enabled() \
+            and "kernel" in p["mlp"]["c_fc"]:
         return ffn_megakernel(p["mlp"], p["ln_2"], x, act="quick_gelu",
                               keys=("c_fc", "c_proj"))
     return _mlp(p, layernorm(p["ln_2"], x))
@@ -100,14 +102,15 @@ def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
     import os
     from ..ops.pallas_attn import clip_temporal_megakernel
-    if fused_attention_enabled() and heads <= 16 \
+    quantized = "kernel" not in p["attn"]["in_proj"]
+    if fused_attention_enabled() and heads <= 16 and not quantized \
             and jax.default_backend() != "cpu" \
             and os.environ.get("STGCMA_CLIP_TADAPT_FUSED", "0") == "1":
         # one kernel: LN + qkv + attn + proj + T_Adapter + residual
         from ..ops.pallas_clip_block import clip_temporal_adapt_block
         xt = clip_temporal_adapt_block(p["attn"], p["ln_1"], p[adapter_key],
                                        xt, heads)
-    elif fused_attention_enabled() and heads <= 16:
+    elif fused_attention_enabled() and heads <= 16 and not quantized:
         attn_out = clip_temporal_megakernel(p["attn"], p["ln_1"], xt, heads)
         xt = xt + adapter_apply(p[adapter_key], attn_out, skip=False)
     else:
@@ -134,6 +137,7 @@ def _fusion(p, v, a, cfg: ClipConfig):
     import os
     from ..ops.pallas_attn import fused_attention_enabled
     if fused_attention_enabled() and h <= 16 and jax.default_backend() != "cpu" \
+            and "kernel" in p["attn"]["in_proj"] \
             and os.environ.get("STGCMA_CLIP_WHOLE_BLOCK", "0") == "1":
         # whole-block megakernel: spatial attn + dual STG-CMA fusion + FFN
         # in one VMEM pass (ops/pallas_clip_block.py)

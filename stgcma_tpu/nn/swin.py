@@ -167,7 +167,8 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
     B = BT // T
     t_index = jnp.asarray(_StaticCache.t_index(T))
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
-    if fused_attention_enabled() and st.num_heads <= 16:
+    quantized = "kernel" not in p["attn"]["qkv"]  # int8 serving (ops/quant.py)
+    if fused_attention_enabled() and st.num_heads <= 16 and not quantized:
         from ..ops.pallas_attn import temporal_block_megakernel
         res = temporal_block_megakernel(p["attn"], p["norm1"], xt,
                                         st.num_heads, t_index, signal=signal)
@@ -190,7 +191,8 @@ def _ffn(p, x):
     than XLA's own fusion for these shapes (BENCH_NOTES.md), so it is opt-in
     via STGCMA_FUSED_FFN=1."""
     import os
-    if os.environ.get("STGCMA_FUSED_FFN") == "1" and fused_attention_enabled():
+    if os.environ.get("STGCMA_FUSED_FFN") == "1" and fused_attention_enabled() \
+            and "kernel" in p["mlp"]["fc1"]:
         from ..ops.pallas_attn import ffn_megakernel
         return ffn_megakernel(p["mlp"], p["norm2"], x)
     return mlp_apply(p["mlp"], layernorm(p["norm2"], x))
@@ -206,7 +208,8 @@ def _spatial_windows(p, x, st: BlockStatic):
     mask_np = _StaticCache.mask(st.H, st.W, st.window_size, st.shift_size)
     mask = None if mask_np is None else jnp.asarray(mask_np)
     rel = jnp.asarray(_StaticCache.rel_index(st.window_size))
-    if fused_attention_enabled() and st.num_heads <= 16:
+    if fused_attention_enabled() and st.num_heads <= 16 \
+            and "kernel" in p["attn"]["qkv"]:
         # full megakernel (LN+qkv+attn+proj). Mosaic compile time scales with
         # the unrolled head loop, so many-head stages use the v1 kernel below.
         from ..ops.pallas_attn import window_block_megakernel
@@ -290,7 +293,7 @@ def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
     if nega is None:
         from ..ops.pallas_swin_block import (swin_fusion_whole_block,
                                              swin_whole_block_enabled)
-        if swin_whole_block_enabled(st):
+        if swin_whole_block_enabled(st) and "kernel" in p["attn"]["qkv"]:
             # whole-block megakernel: shifted W-MSA (mask-encoded windows,
             # no roll/partition/merge HBM copies) + spatial fusion + FFN +
             # joint fusion in ONE VMEM pass (ops/pallas_swin_block.py)

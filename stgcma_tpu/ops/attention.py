@@ -112,13 +112,29 @@ def mha(p, q, k, v, num_heads: int, mask=None):
     C = q.shape[-1]
     dh = C // num_heads
     scale = dh ** -0.5
-    wk = p["in_proj"]["kernel"].astype(q.dtype)
-    bk = p["in_proj"]["bias"].astype(q.dtype)
-    wq, wkk, wv = wk[:, :C], wk[:, C:2 * C], wk[:, 2 * C:]
-    bq, bkk, bv = bk[:C], bk[C:2 * C], bk[2 * C:]
-    qh = _split_heads(q @ wq + bq, num_heads)
-    kh = _split_heads(k @ wkk + bkk, num_heads)
-    vh = _split_heads(v @ wv + bv, num_heads)
+    if "kernel_q" in p["in_proj"]:  # int8 serving mode (ops/quant.py)
+        if q is k and k is v:
+            qkv = linear(p["in_proj"], q)
+            qp, kp, vp = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+        else:
+            def slc(lo, hi):
+                d = {"kernel_q": p["in_proj"]["kernel_q"][:, lo:hi],
+                     "kernel_s": p["in_proj"]["kernel_s"][:, lo:hi]}
+                if "bias" in p["in_proj"]:
+                    d["bias"] = p["in_proj"]["bias"][lo:hi]
+                return d
+            qp = linear(slc(0, C), q)
+            kp = linear(slc(C, 2 * C), k)
+            vp = linear(slc(2 * C, 3 * C), v)
+        qh, kh, vh = (_split_heads(t, num_heads) for t in (qp, kp, vp))
+    else:
+        wk = p["in_proj"]["kernel"].astype(q.dtype)
+        bk = p["in_proj"]["bias"].astype(q.dtype)
+        wq, wkk, wv = wk[:, :C], wk[:, C:2 * C], wk[:, 2 * C:]
+        bq, bkk, bv = bk[:C], bk[C:2 * C], bk[2 * C:]
+        qh = _split_heads(q @ wq + bq, num_heads)
+        kh = _split_heads(k @ wkk + bkk, num_heads)
+        vh = _split_heads(v @ wv + bv, num_heads)
     attn = jnp.einsum("bhnd,bhmd->bhnm", qh * scale, kh,
                       preferred_element_type=jnp.float32)
     if mask is not None:

@@ -60,6 +60,9 @@ def zeros_linear(in_features, out_features, bias=True):
 # ---------------------------------------------------------------------------
 
 def linear(p, x):
+    if "kernel_q" in p:  # int8 frozen-tower serving mode (ops/quant.py)
+        from .quant import linear_q
+        return linear_q(p, x)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

@@ -647,9 +647,12 @@ def mha_self_fused(p, x, num_heads: int):
     B_, N, C = x.shape
     dh = C // num_heads
     scale = dh ** -0.5
-    wk = p["in_proj"]["kernel"].astype(x.dtype)
-    bk = p["in_proj"]["bias"].astype(x.dtype)
-    qkv = x @ wk + bk
+    if "kernel_q" in p["in_proj"]:  # int8 serving mode: XLA int8 qkv,
+        qkv = linear(p["in_proj"], x)  # Pallas gram core, int8 out_proj
+    else:
+        wk = p["in_proj"]["kernel"].astype(x.dtype)
+        bk = p["in_proj"]["bias"].astype(x.dtype)
+        qkv = x @ wk + bk
     qkv = qkv.reshape(B_, N, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0] * scale, qkv[1], qkv[2]
     q = q.reshape(B_ * num_heads, N, dh)
