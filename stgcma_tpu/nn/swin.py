@@ -187,14 +187,21 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
 
 
 def _ffn(p, x):
-    """FFN (LN+fc1+gelu+fc2). The pallas FFN megakernel measured ~3% SLOWER
-    than XLA's own fusion for these shapes (BENCH_NOTES.md), so it is opt-in
-    via STGCMA_FUSED_FFN=1."""
+    """FFN (LN+fc1+gelu+fc2). Shape-aware kernel policy: XLA materializes the
+    (tokens, 4C) GELU hidden in HBM, which dominates at the wide early stages
+    (stage 0: 824 MB of hidden round-trip per FFN — TPU profile, BENCH_NOTES);
+    the Pallas megakernel keeps the hidden in VMEM. For small token counts
+    (CLIP 197-token maps, late Swin stages) XLA's fusion measured ~3% faster,
+    so the kernel only engages above a hidden-size threshold (or via
+    STGCMA_FUSED_FFN=1/0 override)."""
     import os
-    if os.environ.get("STGCMA_FUSED_FFN") == "1" and fused_attention_enabled() \
-            and "kernel" in p["mlp"]["fc1"]:
-        from ..ops.pallas_attn import ffn_megakernel
-        return ffn_megakernel(p["mlp"], p["norm2"], x)
+    if fused_attention_enabled() and "kernel" in p["mlp"]["fc1"]:
+        env = os.environ.get("STGCMA_FUSED_FFN")
+        hidden = p["mlp"]["fc1"]["kernel"].shape[1]
+        hidden_bytes = (x.size // x.shape[-1]) * hidden * x.dtype.itemsize
+        if env == "1" or (env != "0" and hidden_bytes >= (96 << 20)):
+            from ..ops.pallas_attn import ffn_megakernel
+            return ffn_megakernel(p["mlp"], p["norm2"], x)
     return mlp_apply(p["mlp"], layernorm(p["norm2"], x))
 
 

@@ -545,7 +545,9 @@ def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     if act == "quick_gelu":
         h = h * jax.nn.sigmoid(1.702 * h)
     else:
-        h = jax.nn.gelu(h, approximate=False)
+        # exact GELU via the A&S-7.1.26 polynomial erf (Mosaic has no erf/erfc)
+        from .pallas_clip_block import _erf
+        h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
     h = h.astype(x.dtype)
     o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
@@ -693,14 +695,96 @@ def cross_modal_fuse_flash(v_hidden, a_hidden, gate_v, gate_a,
     """Drop-in for ops.attention.cross_modal_fuse using the Pallas kernel when
     the token count justifies it (joint/global fusion over full stage grids)."""
     from .attention import cross_modal_fuse
-    N = v_hidden.shape[1]
-    if N < min_tokens or not fused_attention_enabled() \
+    Nv, Na = v_hidden.shape[1], a_hidden.shape[1]
+    D = v_hidden.shape[2]
+    if Nv < min_tokens or not fused_attention_enabled() \
             or jax.default_backend() == "cpu":
         # CPU: interpret-mode pallas is debug-speed; XLA naive is the fast path
         return cross_modal_fuse(v_hidden, a_hidden, gate_v, gate_a)
+    if (Nv % 16 == 0 and Na % 16 == 0 and D % 8 == 0
+            and Nv * Na * 4 <= (64 << 20)):
+        # single-gram bidirectional kernel: the (Nv, Na) fp32 logits block is
+        # built once in VMEM and consumed by both softmax directions (the
+        # two-call form below computes the same gram twice)
+        return _bidir_fuse_op(v_hidden, a_hidden, gate_v, gate_a)
     dt = v_hidden.dtype
     a2v = unscaled_attention(v_hidden, a_hidden, a_hidden)
     v2a = unscaled_attention(a_hidden, v_hidden, v_hidden)
     v_out = v_hidden + gate_v.astype(dt) * a2v
     a_out = a_hidden + gate_a.astype(dt) * v2a
     return v_out, a_out
+
+
+# ---------------------------------------------------------------------------
+# bidirectional cross-modal fusion: ONE gram, both softmax directions
+# ---------------------------------------------------------------------------
+
+def _bidir_fuse_kernel(vh_ref, ah_ref, gv_ref, ga_ref, vo_ref, ao_ref):
+    """Per-batch-element STG-CMA joint fusion (Swin_AVE.py:796-811):
+        logits = vh @ ah^T          (fp32, stays in VMEM)
+        vo = vh + gv * softmax_row(logits) @ ah
+        ao = ah + ga * softmax_col(logits)^T @ vh
+    The naive lowering (2x unscaled_attention) computes the same gram twice;
+    here the (N, N) fp32 logits block is built once and consumed by both
+    directions (39 MB at Swin stage 0 — fits VMEM)."""
+    vh = vh_ref[0]
+    ah = ah_ref[0]
+    gv = gv_ref[0]
+    ga = ga_ref[0]
+    dt = vh.dtype
+    logits = jax.lax.dot_general(vh, ah, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (Nv,Na)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    pa = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+    a2v = jax.lax.dot_general(pa, ah, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    mc = jnp.max(logits, axis=0, keepdims=True)
+    ec = jnp.exp(logits - mc)
+    pv = (ec / jnp.sum(ec, axis=0, keepdims=True)).astype(dt)
+    v2a = jax.lax.dot_general(pv, vh, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    vo_ref[0] = vh + (gv * a2v).astype(dt)
+    ao_ref[0] = ah + (ga * v2a).astype(dt)
+
+
+def _bidir_fuse_pallas(vh, ah, gate_v, gate_a):
+    B, Nv, D = vh.shape
+    Na = ah.shape[1]
+    assert Nv % 16 == 0 and Na % 16 == 0 and D % 8 == 0, (Nv, Na, D)
+    gv = gate_v.astype(jnp.float32)
+    ga = gate_a.astype(jnp.float32)
+    vspec = pl.BlockSpec((1, Nv, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, Na, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bidir_fuse_kernel,
+        out_shape=(jax.ShapeDtypeStruct(vh.shape, vh.dtype),
+                   jax.ShapeDtypeStruct(ah.shape, ah.dtype)),
+        grid=(B,),
+        in_specs=[vspec, aspec, gspec, gspec],
+        out_specs=(vspec, aspec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(vh, ah, gv, ga)
+
+
+@jax.custom_vjp
+def _bidir_fuse_op(vh, ah, gate_v, gate_a):
+    return _bidir_fuse_pallas(vh, ah, gate_v, gate_a)
+
+
+def _bidir_fwd(vh, ah, gate_v, gate_a):
+    return _bidir_fuse_pallas(vh, ah, gate_v, gate_a), (vh, ah, gate_v, gate_a)
+
+
+def _bidir_bwd(res, g):
+    from .attention import cross_modal_fuse
+    _, vjp = jax.vjp(cross_modal_fuse, *res)
+    return vjp(g)
+
+
+_bidir_fuse_op.defvjp(_bidir_fwd, _bidir_bwd)

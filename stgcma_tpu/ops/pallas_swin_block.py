@@ -197,17 +197,20 @@ def _fullgrid_naive(p, v, a, heads: int, geo: _Geo):
 # ---------------------------------------------------------------------------
 
 def _swin_block_kernel(v_ref, a_ref,
-                       ln1s, ln1b, wqkv_r, bqkv_r, wproj_r, bproj,
+                       ln1s, ln1b, wqkv_r, bqkv_r, wproj, bproj,
                        ln2s, ln2b, w1, b1, w2, b2,
                        s2v1k, s2v1b, s2v2k, s2v2b,
                        s2a1k, s2a1b, s2a2k, s2a2b,
                        sgv1k, sgv1b, sgv2k, sgv2b,
                        sga1k, sga1b, sga2k, sga2b,
                        gv_ref, ga_ref, bias_ref, fmask_ref, jmask_ref,
-                       vo_ref, ao_ref, *, heads: int):
-    """v/a: (TB, NP, C). wqkv_r: (h, C, 3dh); bqkv_r: (h, 3dh);
-    wproj_r: (h, dh, C); bias: (h, NP, NP) fp32 (rel-pos bias + window/shift
-    mask + pad); fmask/jmask: (NP, NP) fp32."""
+                       vo_ref, ao_ref, oh_scratch, *, heads: int):
+    """v/a: (TB, NP, C). wqkv_r: (h, C, 3dh); bqkv_r: (h, 1, 3dh);
+    wproj: (C, C); bias: (h, NP, NP) fp32 (rel-pos bias + window/shift
+    mask + pad); fmask/jmask: (NP, NP) fp32; oh_scratch: (h, 2TB*NP, dh)
+    VMEM scratch for per-head attention outputs (the proj then runs as ONE
+    (rows, C) @ (C, C) matmul — a per-head (rows, dh) @ (dh, C) accumulation
+    is MXU pass-latency-bound at dh=32)."""
     v = v_ref[:]
     a = a_ref[:]
     TB, NP, C = v.shape
@@ -223,7 +226,7 @@ def _swin_block_kernel(v_ref, a_ref,
     rows = B2 * NP
     xn = _ln(x2.reshape(rows, C), ln1s[:], ln1b[:])
 
-    def head_body(h, acc):
+    def head_body(h, carry):
         qkv_h = jnp.dot(xn, wqkv_r[h], preferred_element_type=jnp.float32)
         qkv_h = (qkv_h + bqkv_r[h].astype(jnp.float32)).astype(dt)
         q = qkv_h[:, :dh].reshape(B2, NP, dh) * scale
@@ -237,11 +240,14 @@ def _swin_block_kernel(v_ref, a_ref,
         pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
         oh = jax.lax.dot_general(pr, vv, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
-        return acc + jnp.dot(oh.astype(dt).reshape(rows, dh), wproj_r[h],
-                             preferred_element_type=jnp.float32)
+        oh_scratch[h] = oh.astype(dt).reshape(rows, dh)
+        return carry
 
-    acc = jax.lax.fori_loop(0, heads, head_body,
-                            jnp.zeros((rows, C), jnp.float32))
+    jax.lax.fori_loop(0, heads, head_body, jnp.int32(0))
+    # heads -> lanes via static concat (a (rows, h, dh) -> (rows, C) shape
+    # cast is not lowerable; the concat is one op and keeps IR size O(h))
+    o = jnp.concatenate([oh_scratch[h] for h in range(heads)], axis=-1)
+    acc = jnp.dot(o, wproj[:].astype(dt), preferred_element_type=jnp.float32)
     attn2 = (acc + bproj[:].astype(jnp.float32)).astype(dt).reshape(B2, NP, C)
     vs = attn2[:TB]
     a_s = attn2[TB:]
@@ -330,11 +336,10 @@ def _fullgrid_pallas(p, v, a, geo_key):
     # on an untiled leading dim (Mosaic can't prove sublane alignment on 2D)
     bqkv_r = jnp.concatenate([bq.reshape(heads, 1, dh), bk.reshape(heads, 1, dh),
                               bv.reshape(heads, 1, dh)], axis=-1)
-    wproj_r = p["attn"]["proj"]["kernel"].astype(dt).reshape(heads, dh, C)
-
     args = [
         p["norm1"]["scale"], p["norm1"]["bias"],
-        wqkv_r, bqkv_r, wproj_r, p["attn"]["proj"]["bias"],
+        wqkv_r, bqkv_r, p["attn"]["proj"]["kernel"].astype(dt),
+        p["attn"]["proj"]["bias"],
         p["norm2"]["scale"], p["norm2"]["bias"],
         p["mlp"]["fc1"]["kernel"].astype(dt), p["mlp"]["fc1"]["bias"],
         p["mlp"]["fc2"]["kernel"].astype(dt), p["mlp"]["fc2"]["bias"],
@@ -371,6 +376,7 @@ def _fullgrid_pallas(p, v, a, geo_key):
         grid=(BTP // TB,),
         in_specs=[xspec, xspec] + wspecs,
         out_specs=(xspec, xspec),
+        scratch_shapes=[pltpu.VMEM((heads, 2 * TB * NP, dh), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),

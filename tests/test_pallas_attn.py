@@ -292,3 +292,41 @@ def test_clip_temporal_megakernel_matches_naive():
     out = clip_temporal_megakernel(p, ln, x, h)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_bidir_fuse_matches_cross_modal_fuse():
+    from stgcma_tpu.ops.attention import cross_modal_fuse
+    from stgcma_tpu.ops.pallas_attn import _bidir_fuse_pallas
+    rng = np.random.RandomState(0)
+    vh = jnp.asarray(rng.randn(3, 64, 16), jnp.float32)
+    ah = jnp.asarray(rng.randn(3, 32, 16), jnp.float32)
+    gv = jnp.asarray([0.7], jnp.float32)
+    ga = jnp.asarray([-0.3], jnp.float32)
+    vo, ao = _bidir_fuse_pallas(vh, ah, gv, ga)
+    vr, ar = cross_modal_fuse(vh, ah, gv, ga)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ao), np.asarray(ar), rtol=2e-5, atol=2e-5)
+
+
+def test_bidir_fuse_grad():
+    from stgcma_tpu.ops.attention import cross_modal_fuse
+    from stgcma_tpu.ops.pallas_attn import _bidir_fuse_op
+    rng = np.random.RandomState(1)
+    vh = jnp.asarray(rng.randn(2, 32, 8), jnp.float32)
+    ah = jnp.asarray(rng.randn(2, 16, 8), jnp.float32)
+    gv = jnp.asarray([0.5], jnp.float32)
+    ga = jnp.asarray([0.2], jnp.float32)
+
+    def loss_k(*args):
+        vo, ao = _bidir_fuse_op(*args)
+        return (vo ** 2).sum() + (ao ** 2).sum()
+
+    def loss_n(*args):
+        vo, ao = cross_modal_fuse(*args)
+        return (vo ** 2).sum() + (ao ** 2).sum()
+
+    g1 = jax.grad(loss_k, argnums=(0, 1, 2, 3))(vh, ah, gv, ga)
+    g2 = jax.grad(loss_n, argnums=(0, 1, 2, 3))(vh, ah, gv, ga)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-4)
