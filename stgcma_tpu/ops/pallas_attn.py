@@ -702,10 +702,10 @@ def cross_modal_fuse_flash(v_hidden, a_hidden, gate_v, gate_a,
         # CPU: interpret-mode pallas is debug-speed; XLA naive is the fast path
         return cross_modal_fuse(v_hidden, a_hidden, gate_v, gate_a)
     if (Nv % 16 == 0 and Na % 16 == 0 and D % 8 == 0
-            and Nv * Na * 4 <= (64 << 20)):
-        # single-gram bidirectional kernel: the (Nv, Na) fp32 logits block is
-        # built once in VMEM and consumed by both softmax directions (the
-        # two-call form below computes the same gram twice)
+            and Na * D * 4 <= (16 << 20)):
+        # single-gram bidirectional kernel: each (TQ, Na) logits tile is
+        # built once and consumed by both softmax directions (the two-call
+        # form below computes the same gram twice)
         return _bidir_fuse_op(v_hidden, a_hidden, gate_v, gate_a)
     dt = v_hidden.dtype
     a2v = unscaled_attention(v_hidden, a_hidden, a_hidden)
@@ -719,57 +719,89 @@ def cross_modal_fuse_flash(v_hidden, a_hidden, gate_v, gate_a,
 # bidirectional cross-modal fusion: ONE gram, both softmax directions
 # ---------------------------------------------------------------------------
 
-def _bidir_fuse_kernel(vh_ref, ah_ref, gv_ref, ga_ref, vo_ref, ao_ref):
-    """Per-batch-element STG-CMA joint fusion (Swin_AVE.py:796-811):
-        logits = vh @ ah^T          (fp32, stays in VMEM)
-        vo = vh + gv * softmax_row(logits) @ ah
-        ao = ah + ga * softmax_col(logits)^T @ vh
-    The naive lowering (2x unscaled_attention) computes the same gram twice;
-    here the (N, N) fp32 logits block is built once and consumed by both
-    directions (39 MB at Swin stage 0 — fits VMEM)."""
-    vh = vh_ref[0]
-    ah = ah_ref[0]
+def _bidir_fuse_kernel(vh_ref, ah_ref, gv_ref, ga_ref, vo_ref, ao_ref,
+                       cm_ref, cs_ref, cnum_ref, *, nv_real: int, nq_blocks: int):
+    """Tiled bidirectional STG-CMA joint fusion (Swin_AVE.py:796-811):
+        vo = vh + gv * softmax_row(vh @ ah^T) @ ah
+        ao = ah + ga * softmax_col(vh @ ah^T)^T @ vh
+    Each (TQ, Na) logits tile is built ONCE and consumed by both directions:
+    rows are complete within a tile (exact row softmax); the column direction
+    accumulates flash-style (running max cm, sum cs, numerator cnum in VMEM
+    scratch, rescaled per tile). The naive lowering computes the full gram
+    twice and materializes it (39 MB at Swin stage 0)."""
+    i = pl.program_id(1)
+    vh = vh_ref[0]                       # (TQ, D) query tile
+    ah = ah_ref[0]                       # (Na, D)
     gv = gv_ref[0]
     ga = ga_ref[0]
     dt = vh.dtype
+    TQ = vh.shape[0]
     logits = jax.lax.dot_general(vh, ah, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (Nv,Na)
+                                 preferred_element_type=jnp.float32)  # (TQ,Na)
+    # row direction (exact within the tile)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     pa = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
     a2v = jax.lax.dot_general(pa, ah, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    mc = jnp.max(logits, axis=0, keepdims=True)
-    ec = jnp.exp(logits - mc)
-    pv = (ec / jnp.sum(ec, axis=0, keepdims=True)).astype(dt)
-    v2a = jax.lax.dot_general(pv, vh, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
     vo_ref[0] = vh + (gv * a2v).astype(dt)
-    ao_ref[0] = ah + (ga * v2a).astype(dt)
+
+    # column direction: online accumulation across row tiles
+    @pl.when(i == 0)
+    def _init():
+        cm_ref[:] = jnp.full_like(cm_ref, -1e30)
+        cs_ref[:] = jnp.zeros_like(cs_ref)
+        cnum_ref[:] = jnp.zeros_like(cnum_ref)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + i * TQ
+    lc = jnp.where(row < nv_real, logits, -1e30)   # mask padded query rows
+    tile_max = jnp.max(lc, axis=0, keepdims=True)            # (1, Na)
+    m_new = jnp.maximum(cm_ref[:], tile_max)
+    factor = jnp.exp(cm_ref[:] - m_new)                      # (1, Na)
+    ec = jnp.exp(lc - m_new)                                 # (TQ, Na)
+    cs_ref[:] = cs_ref[:] * factor + jnp.sum(ec, axis=0, keepdims=True)
+    cnum_ref[:] = cnum_ref[:] * factor.T + jax.lax.dot_general(
+        ec.astype(dt), vh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Na, D)
+    cm_ref[:] = m_new
+
+    @pl.when(i == nq_blocks - 1)
+    def _finalize():
+        v2a = cnum_ref[:] / cs_ref[:].T
+        ao_ref[0] = ah + (ga * v2a).astype(dt)
 
 
-def _bidir_fuse_pallas(vh, ah, gate_v, gate_a):
+def _bidir_fuse_pallas(vh, ah, gate_v, gate_a, tq: int = 512):
     B, Nv, D = vh.shape
     Na = ah.shape[1]
     assert Nv % 16 == 0 and Na % 16 == 0 and D % 8 == 0, (Nv, Na, D)
+    TQ = min(tq, Nv)
+    NQP = _round_up(Nv, TQ)
+    if NQP != Nv:
+        vh = jnp.pad(vh, ((0, 0), (0, NQP - Nv), (0, 0)))
     gv = gate_v.astype(jnp.float32)
     ga = gate_a.astype(jnp.float32)
-    vspec = pl.BlockSpec((1, Nv, D), lambda b: (b, 0, 0),
+    qspec = pl.BlockSpec((1, TQ, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
-    aspec = pl.BlockSpec((1, Na, D), lambda b: (b, 0, 0),
+    aspec = pl.BlockSpec((1, Na, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _bidir_fuse_kernel,
-        out_shape=(jax.ShapeDtypeStruct(vh.shape, vh.dtype),
-                   jax.ShapeDtypeStruct(ah.shape, ah.dtype)),
-        grid=(B,),
-        in_specs=[vspec, aspec, gspec, gspec],
-        out_specs=(vspec, aspec),
+    vo, ao = pl.pallas_call(
+        functools.partial(_bidir_fuse_kernel, nv_real=Nv,
+                          nq_blocks=NQP // TQ),
+        out_shape=(jax.ShapeDtypeStruct((B, NQP, D), vh.dtype),
+                   jax.ShapeDtypeStruct((B, Na, D), ah.dtype)),
+        grid=(B, NQP // TQ),
+        in_specs=[qspec, aspec, gspec, gspec],
+        out_specs=(qspec, aspec),
+        scratch_shapes=[pltpu.VMEM((1, Na), jnp.float32),
+                        pltpu.VMEM((1, Na), jnp.float32),
+                        pltpu.VMEM((Na, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(vh, ah, gv, ga)
+    return vo[:, :Nv], ao
 
 
 @jax.custom_vjp

@@ -330,3 +330,18 @@ def test_bidir_fuse_grad():
     for x, y in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_bidir_fuse_multi_tile_accumulation():
+    """Online column-softmax accumulation across row tiles (tq < Nv)."""
+    from stgcma_tpu.ops.attention import cross_modal_fuse
+    from stgcma_tpu.ops.pallas_attn import _bidir_fuse_pallas
+    rng = np.random.RandomState(2)
+    vh = jnp.asarray(rng.randn(2, 80, 16) * 2.0, jnp.float32)  # pads to 96
+    ah = jnp.asarray(rng.randn(2, 48, 16) * 2.0, jnp.float32)
+    gv = jnp.asarray([1.3], jnp.float32)
+    ga = jnp.asarray([-0.8], jnp.float32)
+    vo, ao = _bidir_fuse_pallas(vh, ah, gv, ga, tq=32)
+    vr, ar = cross_modal_fuse(vh, ah, gv, ga)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ao), np.asarray(ar), rtol=3e-5, atol=3e-5)
