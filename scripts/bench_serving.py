@@ -41,7 +41,7 @@ def main():
     from stgcma_tpu.configs import clip_b16
     from stgcma_tpu.data import transforms
     from stgcma_tpu.models import ave
-    from stgcma_tpu.ops.fbank import SWIN_FBANK, fbank_image
+    from stgcma_tpu.ops.fbank import CLIP_FBANK, fbank_image
     from stgcma_tpu.serving import (HostDecoder, MultiTaskServer,
                                     StreamRequest, serve_stream)
 
@@ -68,7 +68,7 @@ def main():
     def pipe(batch):
         v = jax.vmap(lambda c: transforms.eval_transform(
             c, cfg.input_resolution))(batch["frames"])
-        a = fbank_image(batch["wave"], SWIN_FBANK, cfg.audio_tdim,
+        a = fbank_image(batch["wave"], CLIP_FBANK, cfg.audio_tdim,
                         -5.081, 4.485)
         return a, v
 

@@ -241,19 +241,29 @@ def _swin_block_kernel(v_ref, a_ref,
                                  preferred_element_type=jnp.float32)
         return oh.astype(dt).reshape(rows, dh)
 
-    # fori_loop keeps Mosaic IR size constant in head count (per-head qkv
-    # matmuls; a single wide qkv + static 96-lane slices measured ~2% slower
-    # — unaligned lane slices relayout). Outputs land in VMEM scratch.
-    def head_body(h, carry):
+    def _head_qkv(h):
         qkv_h = jnp.dot(xn, wqkv_r[h], preferred_element_type=jnp.float32)
-        qkv_h = (qkv_h + bqkv_r[h].astype(jnp.float32)).astype(dt)
-        oh_scratch[h] = _one_head(qkv_h, bias_ref[h])
-        return carry
+        return (qkv_h + bqkv_r[h].astype(jnp.float32)).astype(dt)
 
-    jax.lax.fori_loop(0, heads, head_body, jnp.int32(0))
-    # heads -> lanes via static concat (a (rows, h, dh) -> (rows, C)
-    # shape cast is not lowerable; one concat keeps IR size O(h))
-    o = jnp.concatenate([oh_scratch[h] for h in range(heads)], axis=-1)
+    if heads <= 16:
+        # unrolled per-head bodies: Mosaic's scheduler can interleave head
+        # h+1's matmuls under head h's softmax (a serial fori_loop leaves the
+        # MXU idle during VPU work). Same per-head matmuls as the fori path —
+        # a single wide qkv + static 96-lane slices measured slower
+        # (unaligned lane slices relayout).
+        outs = [_one_head(_head_qkv(h), bias_ref[h]) for h in range(heads)]
+        o = jnp.concatenate(outs, axis=-1)
+    else:
+        # many heads (Swin-Large stages 2/3): fori_loop keeps Mosaic IR size
+        # constant in head count; outputs land in VMEM scratch
+        def head_body(h, carry):
+            oh_scratch[h] = _one_head(_head_qkv(h), bias_ref[h])
+            return carry
+
+        jax.lax.fori_loop(0, heads, head_body, jnp.int32(0))
+        # heads -> lanes via static concat (a (rows, h, dh) -> (rows, C)
+        # shape cast is not lowerable; one concat keeps IR size O(h))
+        o = jnp.concatenate([oh_scratch[h] for h in range(heads)], axis=-1)
     acc = jnp.dot(o, wproj[:].astype(dt), preferred_element_type=jnp.float32)
     attn2 = (acc + bproj[:].astype(jnp.float32)).astype(dt).reshape(B2, NP, C)
     vs = attn2[:TB]
