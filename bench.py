@@ -206,34 +206,51 @@ def main():
             "clip-l14": "CLIP-L/14"}.get(model, "CLIP-B/16")
     dev = jax.devices()[0]
 
+    t_start = time.perf_counter()
     clips_per_sec = _bench_infer(model, B)
+
+    # extras run inside a wall-clock budget so a cold compile through the
+    # relay can never sink the whole bench (the primary metric is out by now)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    import signal
+
+    def run_extra(label, fn, render):
+        remaining = budget_s - (time.perf_counter() - t_start)
+        if remaining < 60:
+            return
+        def _alarm(signum, frame):
+            raise TimeoutError(f"{label} exceeded bench budget")
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(remaining))
+        try:
+            extras.append(render(fn()))
+        except Exception as e:  # pragma: no cover
+            extras.append({"metric": label, "error": repr(e)[:200]})
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
     extras = []
     if os.environ.get("BENCH_EXTRAS", "1") == "1":
-        if os.environ.get("BENCH_INT8", "1") == "1":
-            try:
-                cps8 = _bench_infer(model, B, int8=True)
-                extras.append({
-                    "metric": f"AVE {name} fusion inference, int8 frozen "
-                              f"towers (serving mode, batch={B})",
-                    "value": round(cps8, 2), "unit": "clips/sec/chip"})
-            except Exception as e:  # pragma: no cover
-                extras.append({"metric": "int8", "error": repr(e)[:200]})
-        try:
-            gbps, pp_clips = _bench_preprocess(B)
-            extras.append({
-                "metric": "TPU-resident fbank+frame preprocess throughput",
-                "value": round(gbps, 3), "unit": "GB/s",
-                "clips_per_sec": round(pp_clips, 1)})
-        except Exception as e:  # pragma: no cover
-            extras.append({"metric": "preprocess", "error": repr(e)[:200]})
-        try:
-            sps = _bench_train(model, int(os.environ.get("BENCH_TRAIN_BATCH", "2")))
-            extras.append({
-                "metric": f"AVE {name} fusion train step (fwd+bwd+Adam, B=2, bf16)",
-                "value": round(sps, 3), "unit": "steps/sec"})
-        except Exception as e:  # pragma: no cover
-            extras.append({"metric": "train", "error": repr(e)[:200]})
+        if os.environ.get("BENCH_INT8", "0") == "1":
+            run_extra("int8", lambda: _bench_infer(model, B, int8=True),
+                      lambda cps8: {
+                          "metric": f"AVE {name} fusion inference, int8 frozen "
+                                    f"towers (serving mode, batch={B})",
+                          "value": round(cps8, 2), "unit": "clips/sec/chip"})
+        run_extra("preprocess", lambda: _bench_preprocess(B),
+                  lambda r: {
+                      "metric": "TPU-resident fbank+frame preprocess throughput",
+                      "value": round(r[0], 3), "unit": "GB/s",
+                      "clips_per_sec": round(r[1], 1)})
+        run_extra("train",
+                  lambda: _bench_train(
+                      model, int(os.environ.get("BENCH_TRAIN_BATCH", "2"))),
+                  lambda sps: {
+                      "metric": f"AVE {name} fusion train step "
+                                f"(fwd+bwd+Adam, B=2, bf16)",
+                      "value": round(sps, 3), "unit": "steps/sec"})
 
     print(json.dumps({
         "metric": f"AVE {name} fusion inference throughput "
