@@ -118,6 +118,44 @@ class _Geo:
         joint = np.zeros((N, N), np.float32)
         self.joint_mask_p = _pad(joint)
 
+        # ---- window-major layout (rolled windows contiguous) -------------
+        # slot s = win*WS + pos; attention/spatial-fusion grams shrink from
+        # (NP, NP) to per-window (WS, WS) — 2.6x less logits/exp volume at
+        # stage 2 — at the cost of one gather in / one gather out around the
+        # kernel and 49->64 row padding on the token axis.
+        ws2 = ws * ws
+        WS = _round_up(ws2, 16)
+        nW = (H // ws) * (W // ws)
+        NPW = nW * WS
+        slot_of = (win_f * WS + pos_f).astype(np.int32)
+        perm = np.zeros((NPW,), np.int32)
+        valid = np.zeros((NPW,), bool)
+        perm[slot_of] = np.arange(N, dtype=np.int32)
+        valid[slot_of] = True
+        self.nW, self.WS, self.NPW = nW, WS, NPW
+        self.perm = perm                       # winmajor slot -> rowmajor idx
+        self.inv_perm = slot_of                # rowmajor idx -> winmajor slot
+        rel_p = np.zeros((WS, WS), np.int32)
+        rel_p[:ws2, :ws2] = rel
+        self.rel_p = rel_p
+        wmask = np.full((nW, WS, WS), -1e30, np.float32)
+        if ss > 0:
+            from .window import shift_attn_mask
+            wmask[:, :ws2, :ws2] = shift_attn_mask(H, W, ws, ss)
+        else:
+            wmask[:, :ws2, :ws2] = 0.0
+        self.wmask = wmask                     # (nW, WS, WS) additive
+        fw = np.full((WS, WS), -1e30, np.float32)
+        fw[:ws2, :ws2] = 0.0
+        self.fuse_w = fw
+        jw = np.zeros((NPW, NPW), np.float32)
+        # mask pad-slot keys SYMMETRICALLY: the in-kernel _fuse reuses the
+        # transposed logits for the second direction, so column-only masking
+        # would leak pad v-keys into the audio update
+        jw[:, ~valid] = -1e30
+        jw[~valid, :] = -1e30
+        self.joint_w = jw
+
 
 _GEO_CACHE: Dict[Tuple[int, int, int, int], _Geo] = {}
 
@@ -204,39 +242,45 @@ def _swin_block_kernel(v_ref, a_ref,
                        sgv1k, sgv1b, sgv2k, sgv2b,
                        sga1k, sga1b, sga2k, sga2b,
                        gv_ref, ga_ref, bias_ref, fmask_ref, jmask_ref,
-                       vo_ref, ao_ref, oh_scratch, *, heads: int):
-    """v/a: (TB, NP, C). wqkv_r: (h, C, 3dh); bqkv_r: (h, 1, 3dh);
-    wproj: (C, C); bias: (h, NP, NP) fp32 (rel-pos bias + window/shift
-    mask + pad); fmask/jmask: (NP, NP) fp32; oh_scratch: (h, 2TB*NP, dh)
-    VMEM scratch for per-head attention outputs (the proj then runs as ONE
-    (rows, C) @ (C, C) matmul — a per-head (rows, dh) @ (dh, C) accumulation
-    is MXU pass-latency-bound at dh=32)."""
+                       vo_ref, ao_ref, oh_scratch, *, heads: int, nW: int):
+    """v/a: (TB, NP, C) with NP = nW * WS (window-major token layout; the
+    row-major mask-encoded mode is the nW=1 special case). wqkv_r:
+    (h, C, 3dh); bqkv_r: (h, 1, 3dh); wproj: (C, C); bias:
+    (h, nW, WS, WS) fp32 (rel-pos bias + shift mask + pad); fmask: (WS, WS)
+    per-window spatial-fusion mask; jmask: (NP, NP); oh_scratch:
+    (h, 2TB*NP, dh) VMEM scratch for per-head attention outputs (the proj
+    then runs as ONE (rows, C) @ (C, C) matmul — a per-head
+    (rows, dh) @ (dh, C) accumulation is MXU pass-latency-bound at dh=32)."""
     v = v_ref[:]
     a = a_ref[:]
     TB, NP, C = v.shape
+    WS = NP // nW
     dh = C // heads
     scale = dh ** -0.5
     dt = v.dtype
     gv = gv_ref[0]
     ga = ga_ref[0]
 
-    # ---- shifted W-MSA (masked full grid), both streams batched ----------
+    # ---- shifted W-MSA (per rolled window), both streams batched ---------
     x2 = jnp.concatenate([v, a], axis=0)                   # (2TB, NP, C)
     B2 = 2 * TB
     rows = B2 * NP
+    BW = B2 * nW
     xn = _ln(x2.reshape(rows, C), ln1s[:], ln1b[:])
 
     def _one_head(qkv_h, bias_h):
-        # qkv_h: (rows, 3dh) for one head; returns (rows, dh)
-        q = qkv_h[:, :dh].reshape(B2, NP, dh) * scale
-        k = qkv_h[:, dh:2 * dh].reshape(B2, NP, dh)
-        vv = qkv_h[:, 2 * dh:].reshape(B2, NP, dh)
+        # qkv_h: (rows, 3dh) for one head; bias_h: (nW, WS, WS);
+        # returns (rows, dh)
+        q = qkv_h[:, :dh].reshape(BW, WS, dh) * scale
+        k = qkv_h[:, dh:2 * dh].reshape(BW, WS, dh)
+        vv = qkv_h[:, 2 * dh:].reshape(BW, WS, dh)
         logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                      preferred_element_type=jnp.float32)
-        logits = logits + bias_h[None]
+        logits = logits.reshape(B2, nW, WS, WS) + bias_h[None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        pr = (e / jnp.sum(e, axis=-1, keepdims=True)
+              ).astype(dt).reshape(BW, WS, WS)
         oh = jax.lax.dot_general(pr, vv, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         return oh.astype(dt).reshape(rows, dh)
@@ -298,9 +342,12 @@ def _swin_block_kernel(v_ref, a_ref,
 
     # ---- spatial S-adapter + per-window fusion ---------------------------
     dA = s2v1k.shape[1]
-    vh = _ad_h(vs.reshape(TB * NP, C), s2v1k[:], s2v1b[:]).reshape(TB, NP, dA)
-    ah = _ad_h(a_s.reshape(TB * NP, C), s2a1k[:], s2a1b[:]).reshape(TB, NP, dA)
+    TW = TB * nW
+    vh = _ad_h(vs.reshape(TB * NP, C), s2v1k[:], s2v1b[:]).reshape(TW, WS, dA)
+    ah = _ad_h(a_s.reshape(TB * NP, C), s2a1k[:], s2a1b[:]).reshape(TW, WS, dA)
     vh, ah = _fuse(vh, ah, fmask_ref[:])
+    vh = vh.reshape(TB, NP, dA)
+    ah = ah.reshape(TB, NP, dA)
     v = v + vs + _ad_o(vh.reshape(TB * NP, dA), s2v2k[:], s2v2b[:]
                        ).reshape(TB, NP, C)
     a = a + a_s + _ad_o(ah.reshape(TB * NP, dA), s2a2k[:], s2a2b[:]
@@ -327,19 +374,46 @@ def _swin_block_kernel(v_ref, a_ref,
         ah2.reshape(TB * NP, dG), sga2k[:], sga2b[:]).reshape(TB, NP, C)
 
 
-def _fullgrid_pallas(p, v, a, geo_key):
+def _winmajor_enabled() -> bool:
+    """Window-major layout measured NET NEGATIVE at Swin-Base stage 2
+    (53.4 vs 57.9 clips/s): the in/out permutation gathers plus 49->64
+    per-window row padding on FFN/qkv outweigh the 2.6x logits/exp savings.
+    Kept as a tested opt-in (STGCMA_SWIN_WINMAJOR=1) for other geometries."""
+    import os
+    return os.environ.get("STGCMA_SWIN_WINMAJOR", "0") == "1"
+
+
+def _fullgrid_pallas(p, v, a, geo_key, winmajor=None):
     H, W, ws, ss, heads = geo_key
     geo = _geo(H, W, ws, ss)
     BT, N, C = v.shape
-    NP = geo.NP
     dh = C // heads
     dt = v.dtype
+    if winmajor is None:
+        winmajor = _winmajor_enabled()
+    winmajor = winmajor and geo.nW > 1
 
-    # bias gather in XLA (tiny; shared across all BT tiles + both streams)
     table = p["attn"]["relative_position_bias_table"].astype(jnp.float32)
-    bias = table[jnp.asarray(geo.bias_index_p.reshape(-1))]
-    bias = bias.reshape(NP, NP, heads).transpose(2, 0, 1)
-    bias = bias + jnp.asarray(geo.attn_mask_p)[None]          # (h, NP, NP)
+    if winmajor:
+        # window-major token layout: per-window (WS, WS) grams instead of the
+        # (NP, NP) mask-encoded full grid — 2.6x less logits/exp volume at
+        # stage 2; one gather in / one gather out around the kernel.
+        NP, nW, WS = geo.NPW, geo.nW, geo.WS
+        v = v[:, jnp.asarray(geo.perm), :]
+        a = a[:, jnp.asarray(geo.perm), :]
+        bias = table[jnp.asarray(geo.rel_p.reshape(-1))]
+        bias = bias.reshape(WS, WS, heads).transpose(2, 0, 1)  # (h, WS, WS)
+        bias = bias[:, None] + jnp.asarray(geo.wmask)[None]    # (h,nW,WS,WS)
+        fmask = jnp.asarray(geo.fuse_w)
+        jmask = jnp.asarray(geo.joint_w)
+    else:
+        NP, nW = geo.NP, 1
+        # bias gather in XLA (tiny; shared across BT tiles + both streams)
+        bias = table[jnp.asarray(geo.bias_index_p.reshape(-1))]
+        bias = bias.reshape(NP, NP, heads).transpose(2, 0, 1)
+        bias = (bias + jnp.asarray(geo.attn_mask_p)[None])[:, None]
+        fmask = jnp.asarray(geo.fuse_mask_p)
+        jmask = jnp.asarray(geo.joint_mask_p)
 
     # per-head weight slabs: leading-dim indexed inside the kernel
     wqkv = p["attn"]["qkv"]["kernel"].astype(dt)               # (C, 3C)
@@ -369,7 +443,7 @@ def _fullgrid_pallas(p, v, a, geo_key):
         p["S_Adapter_Audio"]["D_fc1"]["kernel"].astype(dt), p["S_Adapter_Audio"]["D_fc1"]["bias"],
         p["S_Adapter_Audio"]["D_fc2"]["kernel"].astype(dt), p["S_Adapter_Audio"]["D_fc2"]["bias"],
         p["gate_v"].astype(jnp.float32), p["gate_a"].astype(jnp.float32),
-        bias, jnp.asarray(geo.fuse_mask_p), jnp.asarray(geo.joint_mask_p),
+        bias, fmask, jmask,
     ]
 
     # tile: bound the dominant fp32 transients (FFN hidden + one head's
@@ -377,17 +451,18 @@ def _fullgrid_pallas(p, v, a, geo_key):
     import os
     tb_env = os.environ.get("STGCMA_SWIN_WB_TB")
     hid = p["mlp"]["fc1"]["kernel"].shape[1]
-    per_tb = 2 * NP * hid * 4 + 4 * NP * NP * 4
+    WSb = NP // nW
+    per_tb = 2 * NP * hid * 4 + 4 * nW * WSb * WSb * 4 + 2 * NP * NP * 4
     TB = int(tb_env) if tb_env else max(1, min(BT, (24 << 20) // per_tb))
     BTP = _round_up(BT, TB)
-    vp = jnp.pad(v, ((0, BTP - BT), (0, NP - N), (0, 0)))
-    ap = jnp.pad(a, ((0, BTP - BT), (0, NP - N), (0, 0)))
+    vp = jnp.pad(v, ((0, BTP - BT), (0, NP - v.shape[1]), (0, 0)))
+    ap = jnp.pad(a, ((0, BTP - BT), (0, NP - a.shape[1]), (0, 0)))
 
     xspec = pl.BlockSpec((TB, NP, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args]
     vo, ao = pl.pallas_call(
-        functools.partial(_swin_block_kernel, heads=heads),
+        functools.partial(_swin_block_kernel, heads=heads, nW=nW),
         out_shape=(jax.ShapeDtypeStruct((BTP, NP, C), dt),
                    jax.ShapeDtypeStruct((BTP, NP, C), dt)),
         grid=(BTP // TB,),
@@ -398,6 +473,9 @@ def _fullgrid_pallas(p, v, a, geo_key):
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(vp, ap, *args)
+    if winmajor:
+        return vo[:BT][:, jnp.asarray(geo.inv_perm), :], \
+            ao[:BT][:, jnp.asarray(geo.inv_perm), :]
     return vo[:BT, :N], ao[:BT, :N]
 
 

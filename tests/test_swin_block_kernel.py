@@ -77,3 +77,23 @@ def test_swin_block_kernel_grad():
     for x, y in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_swin_block_kernel_winmajor(shift):
+    """Window-major layout mode: per-window grams + perm/inv-perm gathers."""
+    st, p, v, a = _setup(shift=shift)
+    geo_key = (st.H, st.W, st.window_size, st.shift_size, st.num_heads)
+    vo, ao = _fullgrid_pallas(p, v, a, geo_key, winmajor=True)
+    vr, ar = block_apply(p, (v, a), st)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ao), np.asarray(ar), rtol=3e-5, atol=3e-5)
+
+
+def test_swin_block_kernel_winmajor_nonsquare():
+    st, p, v, a = _setup(H=6, W=6, ws=3, shift=1, heads=4, C=32)
+    geo_key = (st.H, st.W, st.window_size, st.shift_size, st.num_heads)
+    vo, ao = _fullgrid_pallas(p, v, a, geo_key, winmajor=True)
+    vr, ar = block_apply(p, (v, a), st)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ao), np.asarray(ar), rtol=3e-5, atol=3e-5)
