@@ -313,7 +313,10 @@ def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
     if st.use_s_adapter:
         vs_h = adapter_hidden(p["S_Adapter2"], attn_v)
         as_h = adapter_hidden(p["S_Adapter2_Audio"], attn_a)
-        vs_h, as_h = cross_modal_fuse(vs_h, as_h, p["gate_v"], p["gate_a"])
+        # per-window bidirectional exchange: Pallas kernel on TPU (the XLA
+        # naive form materializes (BT*nW, ws^2, ws^2) fp32 logits twice)
+        from ..ops.pallas_attn import cross_modal_fuse_windows
+        vs_h, as_h = cross_modal_fuse_windows(vs_h, as_h, p["gate_v"], p["gate_a"])
         attn_v = attn_v + adapter_out(p["S_Adapter2"], vs_h)
         attn_a = attn_a + adapter_out(p["S_Adapter2_Audio"], as_h)
 

@@ -866,3 +866,104 @@ def _bidir_bwd(res, g):
 
 
 _bidir_fuse_op.defvjp(_bidir_fwd, _bidir_bwd)
+
+
+# ---------------------------------------------------------------------------
+# windowed bidirectional fusion: per-window grams, both directions, one pass
+# (the spatial STG-CMA exchange at Swin stages 0/1 — Swin_AVE.py:747-763)
+# ---------------------------------------------------------------------------
+
+def _win_fuse_kernel(vh_ref, ah_ref, gv_ref, ga_ref, fm_ref, vo_ref, ao_ref):
+    """vh/ah: (TW, NP, d) window tiles; fm: (NP, NP) additive pad mask
+    (symmetric). Same math as _bidir_fuse_full_kernel, batched over windows."""
+    vh = vh_ref[:]
+    ah = ah_ref[:]
+    gv = gv_ref[0]
+    ga = ga_ref[0]
+    dt = vh.dtype
+    logits = jax.lax.dot_general(vh, ah, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    logits = logits + fm_ref[:][None]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    pa = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+    a2v = jax.lax.dot_general(pa, ah, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    lt = logits.transpose(0, 2, 1)          # pad mask is symmetric
+    mc = jnp.max(lt, axis=-1, keepdims=True)
+    ec = jnp.exp(lt - mc)
+    pv = (ec / jnp.sum(ec, axis=-1, keepdims=True)).astype(dt)
+    v2a = jax.lax.dot_general(pv, vh, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    vo_ref[:] = vh + (gv * a2v).astype(dt)
+    ao_ref[:] = ah + (ga * v2a).astype(dt)
+
+
+def _win_fuse_pallas(vh, ah, gate_v, gate_a):
+    R, N, D = vh.shape
+    NP = _round_up(N, 16)
+    DP = _round_up(D, 8)
+    fm = np.zeros((NP, NP), np.float32)
+    if NP != N:
+        fm[:, N:] = -1e30
+        fm[N:, :] = -1e30
+        pad = ((0, 0), (0, NP - N), (0, DP - D))
+        vh = jnp.pad(vh, pad)
+        ah = jnp.pad(ah, pad)
+    elif DP != D:
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, DP - D)))
+        ah = jnp.pad(ah, ((0, 0), (0, 0), (0, DP - D)))
+    # tile budget: the fp32 (TW, NP, NP) logits block + its transpose and
+    # both exp/prob products dominate — keep them ~16 MB total
+    TW = max(1, (2 << 20) // (NP * NP * 4))
+    RP = _round_up(R, TW)
+    if RP != R:
+        vh = jnp.pad(vh, ((0, RP - R), (0, 0), (0, 0)))
+        ah = jnp.pad(ah, ((0, RP - R), (0, 0), (0, 0)))
+    spec = pl.BlockSpec((TW, NP, DP), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vo, ao = pl.pallas_call(
+        _win_fuse_kernel,
+        out_shape=(jax.ShapeDtypeStruct(vh.shape, vh.dtype),
+                   jax.ShapeDtypeStruct(ah.shape, ah.dtype)),
+        grid=(RP // TW,),
+        in_specs=[spec, spec, gspec, gspec,
+                  pl.BlockSpec((NP, NP), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(spec, spec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(vh, ah, gate_v.astype(jnp.float32), gate_a.astype(jnp.float32),
+      jnp.asarray(fm))
+    return vo[:R, :N, :D], ao[:R, :N, :D]
+
+
+@jax.custom_vjp
+def _win_fuse_op(vh, ah, gate_v, gate_a):
+    return _win_fuse_pallas(vh, ah, gate_v, gate_a)
+
+
+def _wf_fwd(vh, ah, gate_v, gate_a):
+    return _win_fuse_pallas(vh, ah, gate_v, gate_a), (vh, ah, gate_v, gate_a)
+
+
+def _wf_bwd(res, g):
+    from .attention import cross_modal_fuse
+    _, vjp = jax.vjp(cross_modal_fuse, *res)
+    return vjp(g)
+
+
+_win_fuse_op.defvjp(_wf_fwd, _wf_bwd)
+
+
+def cross_modal_fuse_windows(v_hidden, a_hidden, gate_v, gate_a):
+    """Drop-in for ops.attention.cross_modal_fuse on WINDOW token batches
+    ((BT*nW, ws^2, d) — the spatial STG-CMA exchange at Swin stages 0/1).
+    The XLA naive path materializes (R, N, N) fp32 logits twice (49 MB x2 per
+    stage-0 block); the kernel runs both directions per window tile in VMEM."""
+    from .attention import cross_modal_fuse
+    if not fused_attention_enabled() or jax.default_backend() == "cpu":
+        return cross_modal_fuse(v_hidden, a_hidden, gate_v, gate_a)
+    return _win_fuse_op(v_hidden, a_hidden, gate_v, gate_a)

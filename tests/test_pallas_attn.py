@@ -345,3 +345,32 @@ def test_bidir_fuse_multi_tile_accumulation():
     vr, ar = cross_modal_fuse(vh, ah, gv, ga)
     np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(np.asarray(ao), np.asarray(ar), rtol=3e-5, atol=3e-5)
+
+
+def test_win_fuse_matches_cross_modal_fuse():
+    """Windowed bidirectional fusion kernel (stages 0/1 spatial exchange)."""
+    from stgcma_tpu.ops.attention import cross_modal_fuse
+    from stgcma_tpu.ops.pallas_attn import _win_fuse_op, _win_fuse_pallas
+    rng = np.random.RandomState(5)
+    vh = jnp.asarray(rng.randn(7, 49, 24), jnp.float32)   # unaligned N and D
+    ah = jnp.asarray(rng.randn(7, 49, 24), jnp.float32)
+    gv = jnp.asarray([0.9], jnp.float32)
+    ga = jnp.asarray([-0.4], jnp.float32)
+    vo, ao = _win_fuse_pallas(vh, ah, gv, ga)
+    vr, ar = cross_modal_fuse(vh, ah, gv, ga)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ao), np.asarray(ar), rtol=3e-5, atol=3e-5)
+
+    def loss_k(*args):
+        vo, ao = _win_fuse_op(*args)
+        return (vo ** 2).sum() + (ao ** 2).sum()
+
+    def loss_n(*args):
+        vo, ao = cross_modal_fuse(*args)
+        return (vo ** 2).sum() + (ao ** 2).sum()
+
+    g1 = jax.grad(loss_k, argnums=(0, 1, 2, 3))(vh, ah, gv, ga)
+    g2 = jax.grad(loss_n, argnums=(0, 1, 2, 3))(vh, ah, gv, ga)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-4)
