@@ -297,14 +297,21 @@ def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
         v = _temporal_branch(p, v, st, "video", "T_Adapter")
         a = _temporal_branch(p, a, st, "audio", "T_Adapter_Audio")
 
-    if nega is None:
-        from ..ops.pallas_swin_block import (swin_fusion_whole_block,
-                                             swin_whole_block_enabled)
-        if swin_whole_block_enabled(st) and "kernel" in p["attn"]["qkv"]:
-            # whole-block megakernel: shifted W-MSA (mask-encoded windows,
-            # no roll/partition/merge HBM copies) + spatial fusion + FFN +
-            # joint fusion in ONE VMEM pass (ops/pallas_swin_block.py)
-            return swin_fusion_whole_block(p, v, a, st)
+    from ..ops.pallas_swin_block import (swin_fusion_whole_block,
+                                         swin_whole_block_enabled)
+    if swin_whole_block_enabled(st) and "kernel" in p["attn"]["qkv"]:
+        # whole-block megakernel: shifted W-MSA (mask-encoded windows,
+        # no roll/partition/merge HBM copies) + spatial fusion + FFN +
+        # joint fusion in ONE VMEM pass (ops/pallas_swin_block.py).
+        # The AVQA nega stream (plain tower, no adapters) rides the
+        # windowed path below independently.
+        v, a = swin_fusion_whole_block(p, v, a, st)
+        if nega is None:
+            return v, a
+        ng_attn, ng_short = _spatial_windows(p, nega, st)
+        ng = ng_short + _merge_windows(ng_attn, st, nega.shape[0])
+        ng = ng + _ffn(p, ng)
+        return v, a, ng
 
     attn_v, shortcut_v = _spatial_windows(p, v, st)
     attn_a, shortcut_a = _spatial_windows(p, a, st)
