@@ -44,14 +44,24 @@ def summarize(tracedir: str, iters: int):
         long_names.setdefault(name, e.get("args", {}).get("long_name", ""))
         stack.append((ts, dur, name))
     print(f"-- self time per op (ms / iter, {iters} iters traced) --")
-    for name, d in self_time.most_common(25):
-        ms = d / 1e3 / iters
-        if ms < 0.02:
-            break
+    total = sum(self_time.values()) / 1e3 / iters
+    print(f"   total device self-time: {total:.2f} ms/iter")
+    # aggregate by (op kind, shape) so the 12 per-block copies group together
+    agg = collections.Counter()
+    counts = collections.Counter()
+    for name, d in self_time.items():
         ln = long_names.get(name, "")
         m = re.search(r"= (\S+) ", ln)
         shape = m.group(1) if m else ""
-        print(f"{ms:8.3f}  {name:28s} {shape[:70]}")
+        kind = re.sub(r"[.\d]+$", "", name)
+        agg[(kind, shape)] += d
+        counts[(kind, shape)] += 1
+    top = int(os.environ.get("PROFILE_TOP", "30"))
+    for (kind, shape), d in agg.most_common(top):
+        ms = d / 1e3 / iters
+        if ms < 0.02:
+            break
+        print(f"{ms:8.3f}  x{counts[(kind, shape)]:3d}  {kind:22s} {shape[:70]}")
 
 
 def main():
@@ -89,6 +99,13 @@ def main():
                                   cfg.audio_fdim), jnp.bfloat16)
         v = jnp.asarray(rng.randn(B, cfg.num_frames, cfg.input_resolution,
                                   cfg.input_resolution, 3), jnp.bfloat16)
+
+    if os.environ.get("INT8") == "1":
+        from stgcma_tpu.ops.quant import (quantize_clip_tower,
+                                          quantize_swin_tower)
+        qf = quantize_swin_tower if model.startswith("swin") else quantize_clip_tower
+        params = dict(params)
+        params["backbone"] = qf(params["backbone"])
 
     ITERS = 4
 

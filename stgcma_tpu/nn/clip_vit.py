@@ -69,10 +69,10 @@ def _attention(p, x, heads: int):
 
 
 def _attn_ln(p, x, heads: int):
-    """ln_1 + self-attention, LN fused into the kernel on TPU."""
+    """ln_1 + self-attention, LN fused into the kernel on TPU (the kernel
+    routes to the int8 W8A8 variant when the tower is quantized)."""
     from ..ops.pallas_attn import clip_temporal_megakernel, fused_attention_enabled
-    if fused_attention_enabled() and heads <= 16 \
-            and "kernel" in p["attn"]["in_proj"]:
+    if fused_attention_enabled() and heads <= 16:
         return clip_temporal_megakernel(p["attn"], p["ln_1"], x, heads)
     return _attention(p, layernorm(p["ln_1"], x), heads)
 
@@ -82,10 +82,16 @@ def _mlp(p, x):
 
 
 def _ffn_clip(p, x):
-    """ln_2 + MLP (QuickGELU). Pallas FFN kernel is opt-in (STGCMA_FUSED_FFN=1;
-    measured slower than XLA's fusion here — BENCH_NOTES.md)."""
+    """ln_2 + MLP (QuickGELU). Pallas FFN kernel is opt-in for bf16
+    (STGCMA_FUSED_FFN=1; measured slower than XLA's fusion here —
+    BENCH_NOTES.md) but ALWAYS used for the int8 tower (the fused in-kernel
+    activation quant is what makes W8A8 pay — ops/pallas_attn.py)."""
     import os
-    from ..ops.pallas_attn import ffn_megakernel, fused_attention_enabled
+    from ..ops.pallas_attn import (ffn_megakernel, ffn_q_megakernel,
+                                   fused_attention_enabled)
+    if "kernel_q" in p["mlp"]["c_fc"] and fused_attention_enabled():
+        return ffn_q_megakernel(p["mlp"], p["ln_2"], x, act="quick_gelu",
+                                keys=("c_fc", "c_proj"))
     if os.environ.get("STGCMA_FUSED_FFN") == "1" and fused_attention_enabled() \
             and "kernel" in p["mlp"]["c_fc"]:
         return ffn_megakernel(p["mlp"], p["ln_2"], x, act="quick_gelu",
@@ -110,7 +116,8 @@ def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
         from ..ops.pallas_clip_block import clip_temporal_adapt_block
         xt = clip_temporal_adapt_block(p["attn"], p["ln_1"], p[adapter_key],
                                        xt, heads)
-    elif fused_attention_enabled() and heads <= 16 and not quantized:
+    elif fused_attention_enabled() and heads <= 16:
+        # float AND int8 towers: the megakernel routes on 'kernel_q'
         attn_out = clip_temporal_megakernel(p["attn"], p["ln_1"], xt, heads)
         xt = xt + adapter_apply(p[adapter_key], attn_out, skip=False)
     else:

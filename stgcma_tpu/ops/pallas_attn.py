@@ -458,10 +458,22 @@ def window_block_megakernel(attn_p, ln, x, num_heads: int, rel_index, mask=None)
         bm = jnp.pad(bm, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
         bm = jnp.pad(bm, ((0, 0), (0, 0), (0, 0), (0, NP - N)),
                      constant_values=-1e30)
-    rest = {"bqkv": attn_p["qkv"]["bias"], "wproj": attn_p["proj"]["kernel"],
-            "bproj": attn_p["proj"]["bias"]}
+    quantized = "kernel_q" in attn_p["qkv"]     # int8 serving mode
     pack = 2 if (x.shape[0] % 2 == 0 and
                  (bm.shape[0] % 2 == 0 or bm.shape[0] == 1)) else 1
+    if quantized:
+        qp = _attn_qparams(attn_p)
+        if pack > 1:
+            xp, bmp = _pack_blockdiag(x, bm, pack)
+            out = _win_block_q_pallas(xp, ln["scale"], ln["bias"], qp, bmp,
+                                      num_heads)
+            out = out.reshape(x.shape[0], NP, -1)
+        else:
+            out = _win_block_q_pallas(x, ln["scale"], ln["bias"], qp, bm,
+                                      num_heads)
+        return out[:, :N, :]
+    rest = {"bqkv": attn_p["qkv"]["bias"], "wproj": attn_p["proj"]["kernel"],
+            "bproj": attn_p["proj"]["bias"]}
     if pack > 1:
         xp, bmp = _pack_blockdiag(x, bm, pack)
         out = _win_block_op(xp, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
@@ -484,23 +496,30 @@ def temporal_block_megakernel(attn_p, ln, x, num_heads: int, t_index,
            else "temporal_position_bias_table_audio")
     bias = gather_bias(attn_p[key], t_index, num_heads, T)    # (h, T, T)
     bm = bias[None]                                           # (1, h, T, T)
-    TP = _round_up(T, 16)
+    # T is tiny: pack 8 rows into one block-diag gram. When 8*T is already a
+    # sublane multiple (T=10 -> 80) the T->16 pad is skipped entirely (no
+    # wasted qkv/proj tokens, no HBM pad/slice copies).
+    pack = 8
+    TP = T if (pack * T) % 16 == 0 else _round_up(T, 16)
     if TP != T:
         x = jnp.pad(x, ((0, 0), (0, TP - T), (0, 0)))
         bm = jnp.pad(bm, ((0, 0), (0, 0), (0, TP - T), (0, 0)))
         bm = jnp.pad(bm, ((0, 0), (0, 0), (0, 0), (0, TP - T)),
                      constant_values=-1e30)
-    rest = {"bqkv": attn_p["qkv"]["bias"], "wproj": attn_p["proj"]["kernel"],
-            "bproj": attn_p["proj"]["bias"]}
-    # T is tiny (16 padded): pack 8 groups -> 128-wide block-diag grams
-    pack = 8
     R = x.shape[0]
     RP = _round_up(R, pack)
     if RP != R:
         x = jnp.pad(x, ((0, RP - R), (0, 0), (0, 0)))
     xp, bmp = _pack_blockdiag(x, bm, pack)
-    out = _win_block_op(xp, ln["scale"], ln["bias"], attn_p["qkv"]["kernel"],
-                        rest, bmp, num_heads)
+    if "kernel_q" in attn_p["qkv"]:         # int8 serving mode
+        out = _win_block_q_pallas(xp, ln["scale"], ln["bias"],
+                                  _attn_qparams(attn_p), bmp, num_heads)
+    else:
+        rest = {"bqkv": attn_p["qkv"]["bias"],
+                "wproj": attn_p["proj"]["kernel"],
+                "bproj": attn_p["proj"]["bias"]}
+        out = _win_block_op(xp, ln["scale"], ln["bias"],
+                            attn_p["qkv"]["kernel"], rest, bmp, num_heads)
     out = out.reshape(RP, TP, -1)[:R]
     return out[:, :T, :]
 
@@ -627,11 +646,45 @@ def clip_temporal_megakernel(attn_p, ln, x, num_heads: int):
     + out_proj in one VMEM pass (drop-in for
     mha(attn_p, LN(x), ...) over the T<=16 frame axis). x: (B*N, T, C)."""
     B_, T, C = x.shape
+    quantized = "kernel_q" in attn_p["in_proj"]
+    if T <= 16 and (8 * T) % 16 == 0:
+        # pack-without-pad: 8 rows of T tokens make one 8T-token group that is
+        # already sublane-aligned (e.g. T=10 -> 80 = 5x16), so the T->16 HBM
+        # pad (1.6x wasted qkv/proj tokens + pad/slice copies) is skipped
+        # entirely. Cross-row attention is masked block-diagonally.
+        pack = 8
+        RP = _round_up(B_, pack)
+        if RP != B_:
+            x = jnp.pad(x, ((0, RP - B_), (0, 0), (0, 0)))
+        xp = x.reshape(RP // pack, pack * T, C)
+        bm_np = np.full((pack * T, pack * T), -1e30, np.float32)
+        for j in range(pack):
+            bm_np[j * T:(j + 1) * T, j * T:(j + 1) * T] = 0.0
+        bm = jnp.asarray(np.broadcast_to(
+            bm_np, (1, num_heads) + bm_np.shape).copy())
+        if quantized:
+            out = _win_block_q_pallas(
+                xp, ln["scale"], ln["bias"],
+                _attn_qparams(attn_p, "in_proj", "out_proj"), bm, num_heads)
+        else:
+            rest = {"bqkv": attn_p["in_proj"]["bias"],
+                    "wproj": attn_p["out_proj"]["kernel"],
+                    "bproj": attn_p["out_proj"]["bias"]}
+            out = _win_block_op(xp, ln["scale"], ln["bias"],
+                                attn_p["in_proj"]["kernel"], rest, bm,
+                                num_heads)
+        return out.reshape(RP, T, C)[:B_]
     TP = _round_up(T, 16)
     bm = np.zeros((1, num_heads, TP, TP), np.float32)
     if TP != T:
         bm[..., T:] = -1e30
         x = jnp.pad(x, ((0, 0), (0, TP - T), (0, 0)))
+    if quantized:                           # int8 serving mode
+        out = _win_block_q_pallas(
+            x, ln["scale"], ln["bias"],
+            _attn_qparams(attn_p, "in_proj", "out_proj"),
+            jnp.asarray(bm), num_heads)
+        return out[:, :T, :]
     rest = {"bqkv": attn_p["in_proj"]["bias"],
             "wproj": attn_p["out_proj"]["kernel"],
             "bproj": attn_p["out_proj"]["bias"]}
@@ -967,3 +1020,174 @@ def cross_modal_fuse_windows(v_hidden, a_hidden, gate_v, gate_a):
     if not fused_attention_enabled() or jax.default_backend() == "cpu":
         return cross_modal_fuse(v_hidden, a_hidden, gate_v, gate_a)
     return _win_fuse_op(v_hidden, a_hidden, gate_v, gate_a)
+
+
+# ---------------------------------------------------------------------------
+# int8 serving variants: W8A8 with fused dynamic activation quantization.
+#
+# The frozen towers (Swin_AVE.py:1422-1468 trains only adapters/gates/heads)
+# quantize to per-out-channel int8 weights (ops/quant.py); these kernels fuse
+# the per-row activation quant (abs-max -> scale -> round, all on the VPU,
+# VMEM-resident) directly around the int8 MXU dot so the 2x int8 MXU rate is
+# realized without the HBM-level quant passes that sank the XLA int8 path
+# (BENCH_NOTES round 2: 20 vs 57 clips/s). Measured on v5e: fused dyn-quant
+# matmul is 1.4-1.55x the bf16 kernel rate at CLIP shapes (scripts/perf_int8).
+#
+# Attention grams / softmax / LN / biases stay fp32-bf16 — only the tower
+# projections (qkv, out-proj, FFN fc1/fc2) run int8. Serving-only: no VJP
+# (int8 mode is inference; training uses the float kernels).
+# ---------------------------------------------------------------------------
+
+def _quant_rows(xf):
+    """Per-row symmetric int8 quant of an fp32 (M, K) block. Returns
+    (int8 values, fp32 (M, 1) scale). approx-reciprocal error (~2^-12) is
+    absorbed by dequantizing with the exact scale."""
+    ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-30) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf * pl.reciprocal(sx, approx=True)),
+                  -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _dotq(xf, wq_ref, ws_ref):
+    """fp32 activations -> fused row-quant -> int8 MXU dot -> dequant (fp32)."""
+    xq, sx = _quant_rows(xf)
+    acc = jax.lax.dot_general(xq, wq_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * ws_ref[:]
+
+
+def _win_block_q_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                        wproj_ref, sproj_ref, bproj_ref, bm_ref, o_ref, *,
+                        heads: int, ln_eps: float = 1e-5):
+    """int8 twin of _win_block_kernel: LN + int8 qkv + attention + int8 proj."""
+    TW, N, C = x_ref.shape
+    dh = C // heads
+    scale = dh ** -0.5
+    x = x_ref[:].reshape(TW * N, C)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = xn * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    qkv = (_dotq(xn, wqkv_ref, sqkv_ref)
+           + bqkv_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    nWb = bm_ref.shape[0]
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh].reshape(TW, N, dh) * scale
+        k = qkv[:, C + h * dh: C + (h + 1) * dh].reshape(TW, N, dh)
+        v = qkv[:, 2 * C + h * dh: 2 * C + (h + 1) * dh].reshape(TW, N, dh)
+        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        logits = logits.reshape(TW // nWb, nWb, N, N) + bm_ref[:, h][None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(TW, N, N)
+        oh = jax.lax.dot_general(p.astype(jnp.bfloat16), v,
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        outs.append(oh.astype(jnp.bfloat16).reshape(TW * N, dh))
+    o = jnp.concatenate(outs, axis=-1)          # (TW*N, C) heads merged
+    o = _dotq(o.astype(jnp.float32), wproj_ref, sproj_ref)
+    o = o + bproj_ref[:].astype(jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype).reshape(TW, N, C)
+
+
+def _win_block_q_pallas(x, ln_scale, ln_bias, qp, bm, heads):
+    """qp: {'wqkv_q','wqkv_s','bqkv','wproj_q','wproj_s','bproj'}."""
+    B_, N, C = x.shape
+    nW = bm.shape[0]
+    budget = max(1, (1 << 20) // (N * C * 2))
+    TW = nW * max(1, budget // nW)
+    RP = _round_up(B_, TW)
+    if RP != B_:
+        x = jnp.pad(x, ((0, RP - B_), (0, 0), (0, 0)))
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_win_block_q_kernel, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((RP, N, C), x.dtype),
+        grid=(RP // TW,),
+        in_specs=[
+            pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, wspec,           # ln scale/bias
+            wspec, wspec, wspec,    # wqkv_q (C,3C) int8, wqkv_s (1,3C), bqkv
+            wspec, wspec, wspec,    # wproj_q, wproj_s, bproj
+            pl.BlockSpec((nW,) + bm.shape[1:], lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, ln_scale, ln_bias, qp["wqkv_q"], qp["wqkv_s"], qp["bqkv"],
+      qp["wproj_q"], qp["wproj_s"], qp["bproj"], bm)
+    return out[:B_]
+
+
+def _attn_qparams(attn_p, qkv_key: str = "qkv", proj_key: str = "proj"):
+    qkv, proj = attn_p[qkv_key], attn_p[proj_key]
+    return {"wqkv_q": qkv["kernel_q"], "wqkv_s": qkv["kernel_s"],
+            "bqkv": qkv["bias"],
+            "wproj_q": proj["kernel_q"], "wproj_s": proj["kernel_s"],
+            "bproj": proj["bias"]}
+
+
+def _ffn_q_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                  w2_ref, s2_ref, b2_ref, o_ref, *, act: str,
+                  ln_eps: float = 1e-5):
+    """int8 twin of _ffn_kernel: LN + int8 fc1 + act + int8 fc2."""
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = xn * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    h = _dotq(xn, w1_ref, s1_ref) + b1_ref[:].astype(jnp.float32)
+    if act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        from .pallas_clip_block import _erf
+        h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+    o = _dotq(h, w2_ref, s2_ref) + b2_ref[:].astype(jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _ffn_q_pallas(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2, act: str):
+    M, C = x.shape
+    hid = w1q.shape[1]
+    TT = max(8, min(1024, _round_up((1 << 22) // (hid * 4), 8)))
+    MP = _round_up(M, TT)
+    if MP != M:
+        x = jnp.pad(x, ((0, MP - M), (0, 0)))
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ffn_q_kernel, act=act),
+        out_shape=jax.ShapeDtypeStruct((MP, C), x.dtype),
+        grid=(MP // TT,),
+        in_specs=[pl.BlockSpec((TT, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + [wspec] * 8,
+        out_specs=pl.BlockSpec((TT, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2)
+    return out[:M]
+
+
+def ffn_q_megakernel(mlp_p, ln, x, act: str = "gelu",
+                     keys: Tuple[str, str] = ("fc1", "fc2")):
+    """Fused LN+FFN over int8-quantized weights (serving mode)."""
+    shape = x.shape
+    flat = x.reshape(-1, shape[-1])
+    f1, f2 = keys
+    out = _ffn_q_pallas(flat, ln["scale"], ln["bias"],
+                        mlp_p[f1]["kernel_q"], mlp_p[f1]["kernel_s"],
+                        mlp_p[f1]["bias"],
+                        mlp_p[f2]["kernel_q"], mlp_p[f2]["kernel_s"],
+                        mlp_p[f2]["bias"], act)
+    return out.reshape(shape)
