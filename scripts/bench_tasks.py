@@ -83,9 +83,15 @@ def main():
     @functools.partial(jax.jit, static_argnums=(5,))
     def avqa_many(params, a, v, vn, q, n):
         def body(carry, _):
-            out = avqa.apply_avqa(params, cfg, qcfg,
-                                  a + (carry * 1e-8).astype(jnp.bfloat16),
-                                  v, vn, q)[0]
+            # perturb EVERY independent input stream with the carry: the nega
+            # tower and the question LSTM are data-independent of the audio
+            # stream, so a loop-invariant vn/q would let XLA hoist ~1/3 of the
+            # visual compute + the LSTM out of the timed scan
+            eps = (carry * 1e-8).astype(jnp.bfloat16)
+            # data-dependent select XLA cannot fold away; ids stay valid
+            qp = jnp.where(carry > 1e30, q + 1, q)
+            out = avqa.apply_avqa(params, cfg, qcfg, a + eps,
+                                  v + eps, vn + eps, qp)[0]
             return out.astype(jnp.float32).mean() * 1e-6, None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return acc

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..configs import AVQAHeadConfig, swin_large, swin_tiny_test
 from ..data.datasets import AVQADataset
-from ..data.loader import DataLoader, make_ave_device_pipeline
+from ..data.loader import DataLoader, make_avqa_device_pipeline
 from ..metrics.stats import avqa_type_accuracy
 from ..models import avqa
 from ..ops.fbank import SWIN_FBANK
@@ -129,12 +129,11 @@ def main(argv=None):
     te = DataLoader(te_ds, args.batch_size, shuffle=False, drop_last=False,
                     num_workers=args.num_workers)
 
-    train_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
-                                          args.dataset_std, train=True,
-                                          image_size=img)
-    eval_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
-                                         args.dataset_std, train=False,
-                                         image_size=img)
+    # AVQA protocol: identical train/eval preprocess (direct 224^2 BICUBIC
+    # resize + ImageNet normalize, no augmentation — AVQA/dataloader.py:86-90)
+    train_pipe = make_avqa_device_pipeline(fb, target_len, args.dataset_mean,
+                                           args.dataset_std, image_size=img)
+    eval_pipe = train_pipe
 
     def loss_fn(p, batch, rng_):
         k1, k2 = jax.random.split(rng_)

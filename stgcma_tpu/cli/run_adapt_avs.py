@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..configs import AVSHeadConfig, swin_base, swin_large, swin_tiny_test
 from ..data.datasets import AVSDataset
-from ..data.loader import DataLoader, make_ave_device_pipeline
+from ..data.loader import DataLoader, make_avs_device_pipeline
 from ..models import avs
 from ..ops.fbank import SWIN_FBANK
 from ..train import losses
@@ -133,12 +133,11 @@ def main(argv=None):
     te = DataLoader(te_ds, args.batch_size, shuffle=False, drop_last=False,
                     num_workers=args.num_workers)
 
-    train_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
-                                          args.dataset_std, train=True,
-                                          image_size=img)
-    eval_pipe = make_ave_device_pipeline(fb, target_len, args.dataset_mean,
-                                         args.dataset_std, train=False,
-                                         image_size=img)
+    # AVS protocol: ToTensor + ImageNet Normalize only, train AND eval
+    # (AVS/dataloader.py:65-72) — no RandAugment/crop; frames pre-sized 224^2
+    train_pipe = make_avs_device_pipeline(fb, target_len, args.dataset_mean,
+                                          args.dataset_std)
+    eval_pipe = train_pipe
 
     def loss_fn(p, batch, rng_):
         a, v = train_pipe({"frames": batch["frames"], "wave": batch["wave"]}, rng_)

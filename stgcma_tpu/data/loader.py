@@ -123,3 +123,40 @@ def make_ave_device_pipeline(fbank_cfg: FbankConfig = SWIN_FBANK,
         return a, v
 
     return train_pipe if train else eval_pipe
+
+
+def make_avqa_device_pipeline(fbank_cfg: FbankConfig = SWIN_FBANK,
+                              target_length: int = 224,
+                              norm_mean: float = -5.385, norm_std: float = 3.593,
+                              image_size: int = 224):
+    """AVQA device pipeline: the reference protocol is IDENTICAL for train and
+    eval — direct 224x224 BICUBIC resize + ImageNet normalize, no augmentation
+    (AVQA/dataloader.py:86-90). The optional rng argument is accepted and
+    ignored so the CLI can call it uniformly with the AVE train pipe."""
+
+    @jax.jit
+    def pipe(batch, rng=None):  # noqa: ARG001 — protocol has no randomness
+        v = jax.vmap(lambda c: transforms.avqa_transform(c, image_size))(
+            batch["frames"])
+        a = fbank_image(batch["wave"], fbank_cfg, target_length,
+                        norm_mean, norm_std)
+        return a, v
+
+    return pipe
+
+
+def make_avs_device_pipeline(fbank_cfg: FbankConfig = SWIN_FBANK,
+                             target_length: int = 224,
+                             norm_mean: float = -5.670, norm_std: float = 3.948):
+    """AVS device pipeline: ToTensor + ImageNet Normalize only, train and eval
+    (AVS/dataloader.py:65-72) — frames are pre-sized by the offline
+    preprocess. rng accepted and ignored (no augmentation in the protocol)."""
+
+    @jax.jit
+    def pipe(batch, rng=None):  # noqa: ARG001
+        v = jax.vmap(transforms.avs_transform)(batch["frames"])
+        a = fbank_image(batch["wave"], fbank_cfg, target_length,
+                        norm_mean, norm_std)
+        return a, v
+
+    return pipe

@@ -57,6 +57,25 @@ def eval_transform(clip_uint8, size: int = 224):
     return normalize(x / 255.0)
 
 
+def avqa_transform(clip_uint8, size: int = 224):
+    """AVQA visual protocol — BOTH train and eval: direct (size, size)
+    BICUBIC resize (aspect-distorting, torch interpolate semantics) +
+    ImageNet normalize; no crop/RandAugment/flip (AVQA/dataloader.py:86-90:
+    Resize([224,224], BICUBIC) + Normalize on read_image(..)/255 tensors)."""
+    from ..ops.resize import resize_bicubic
+    x = clip_uint8.astype(jnp.float32) / 255.0
+    if x.shape[-3] != size or x.shape[-2] != size:
+        x = resize_bicubic(x, size, size)
+    return normalize(x)
+
+
+def avs_transform(clip_uint8):
+    """AVS visual protocol — BOTH train and eval: ToTensor + ImageNet
+    Normalize only (AVS/dataloader.py:65-72); frames come pre-sized 224x224
+    from the offline preprocess (AVS/preprocess/preprocess_s4.py)."""
+    return normalize(clip_uint8.astype(jnp.float32) / 255.0)
+
+
 # ---------------------------------------------------------------------------
 # affine sampling core (PIL-style inverse mapping, bilinear, gray fill)
 # ---------------------------------------------------------------------------

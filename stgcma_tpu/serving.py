@@ -160,7 +160,13 @@ class HostDecoder:
         batch = {"wave": wave,
                  "frames": np.stack([r.frames for r in reqs])}
         extras = [r.extras for r in reqs if r.extras]
-        if extras and len(extras) == len(reqs):
+        if extras:
+            if len(extras) != len(reqs) or any(
+                    set(e) != set(extras[0]) for e in extras[1:]):
+                raise ValueError(
+                    "heterogeneous extras within a micro-batch: every request "
+                    "must carry the same extra tensors (e.g. AVQA question "
+                    "ids) or none")
             for k in extras[0]:
                 batch[k] = np.stack([r.extras[k] for r in reqs])
         return batch
@@ -205,6 +211,11 @@ def serve_stream(server: MultiTaskServer,
         model_batch = pipelines[mb[0].task](host)
         out = server.predict(mb[0].task, model_batch)
         # leading axis may be per-request or per-frame (AVE: B*T rows)
+        if out.shape[0] % len(host["frames"]) != 0:
+            raise ValueError(
+                f"model output leading dim {out.shape[0]} is not a multiple "
+                f"of the padded batch {len(host['frames'])}; cannot slice "
+                "per-request results")
         rows_per_req = out.shape[0] // len(host["frames"])
         return [r.rid for r in mb], out[:n * rows_per_req]
 
