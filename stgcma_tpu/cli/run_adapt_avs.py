@@ -141,12 +141,19 @@ def main(argv=None):
 
     def loss_fn(p, batch, rng_):
         a, v = train_pipe({"frames": batch["frames"], "wave": batch["wave"]}, rng_)
-        pred, fmaps, afeas = avs.apply_avs(p, cfg, hcfg, a, v, train=False)
+        # train=True: TPAVI W_z BatchNorm runs in batch-stat mode and its
+        # running-stat momentum updates flow out via aux['state_updates']
+        # (torch buffer semantics — AVS/model/TPAVI.py:57-63)
+        pred, fmaps, afeas, bn_state = avs.apply_avs(
+            p, cfg, hcfg, a, v, train=True, return_state=True)
         gt = batch["masks"][:, 0][..., None]  # first-frame mask (B,H,W,1)
         total, aux = losses.iou_semantic_aware_loss(
             pred, gt, afeas, fmaps, args.lambda_1,
             count_stages=tuple(args.tpavi_stages) if args.sa_loss else (),
             sa_loss_flag=args.sa_loss, frames_per_clip=args.num_frames)
+        aux = dict(aux)
+        aux["state_updates"] = {"avstask": {
+            k: {"W_z": {"bn": s}} for k, s in bn_state.items()}}
         return total, aux
 
     @jax.jit

@@ -61,9 +61,11 @@ def init_avs_pvt(key, hcfg: AVSHeadConfig):
     return {"encoder": pvt.pvt_init(k1, pvt.B5), "avstask": head}
 
 
-def apply_avs_pvt(params, hcfg: AVSHeadConfig, audio_feat, frames, train=False):
+def apply_avs_pvt(params, hcfg: AVSHeadConfig, audio_feat, frames, train=False,
+                  return_state=False):
     """audio_feat: (B, T, 128) VGGish features; frames: (B*T, H, W, 3).
-    Returns (pred, feature_map_list, a_fea_list) like apply_avs."""
+    Returns (pred, feature_map_list, a_fea_list) like apply_avs
+    (+ bn_state dict when return_state)."""
     from ..nn import pvt, tpavi as _tpavi
     from ..nn.decoder import aspp_apply, ffb_apply, output_conv_apply
     hp = params["avstask"]
@@ -72,12 +74,16 @@ def apply_avs_pvt(params, hcfg: AVSHeadConfig, audio_feat, frames, train=False):
                         for i, m in enumerate(maps)]
     B, T = audio_feat.shape[0], audio_feat.shape[1]
     a_fea_list: List[Optional[jnp.ndarray]] = [None] * 4
+    bn_state = {}
     for i in hcfg.tpavi_stages:
         fm = feature_map_list[i]
         BT, H, W, C = fm.shape
-        z, a_fea, _ = _tpavi.tpavi_apply(hp[f"tpavi_b{i+1}"],
-                                         fm.reshape(B, T, H, W, C),
-                                         audio_feat, train=train)
+        z, a_fea, bn_new = _tpavi.tpavi_apply(hp[f"tpavi_b{i+1}"],
+                                              fm.reshape(B, T, H, W, C),
+                                              audio_feat, train=train)
+        if bn_new is not None:
+            bn_state[f"tpavi_b{i+1}"] = {"mean": bn_new["mean"],
+                                         "var": bn_new["var"]}
         a_fea_list[i] = a_fea
         feature_map_list[i] = z.reshape(BT, H, W, C)
     x = ffb_apply(hp["path4"], feature_map_list[3])
@@ -87,10 +93,13 @@ def apply_avs_pvt(params, hcfg: AVSHeadConfig, audio_feat, frames, train=False):
     # mirror the reference's in-place-ReLU mutation of the returned maps
     # (see apply_avs)
     feature_map_list = [jax.nn.relu(fm) for fm in feature_map_list]
+    if return_state:
+        return pred, feature_map_list, a_fea_list, bn_state
     return pred, feature_map_list, a_fea_list
 
 
-def apply_avs(params, cfg: SwinConfig, hcfg: AVSHeadConfig, a, v, train=False):
+def apply_avs(params, cfg: SwinConfig, hcfg: AVSHeadConfig, a, v, train=False,
+              return_state=False):
     """Fusion forward (Swin_AVSModel.py:1790-1894). Returns
     (pred, feature_map_list, a_fea_list)."""
     feats = swin.backbone_apply(params["backbone"], cfg, a=a, v=v,
@@ -115,13 +124,19 @@ def apply_avs(params, cfg: SwinConfig, hcfg: AVSHeadConfig, a, v, train=False):
 
     n = len(hcfg.stage_dims)
     a_fea_list: List[Optional[jnp.ndarray]] = [None] * n
+    bn_state = {}
     for i in hcfg.tpavi_stages:
         fm = feature_map_list[i]
         BT, H, W, C = fm.shape
         x5 = fm.reshape(B, T, H, W, C)
         if hcfg.tpavi_va_flag:
-            z, a_fea, _ = tpavi.tpavi_apply(hp[f"tpavi_b{i+1}"], x5,
-                                            audio_feature, train=train)
+            z, a_fea, bn_new = tpavi.tpavi_apply(hp[f"tpavi_b{i+1}"], x5,
+                                                 audio_feature, train=train)
+            if bn_new is not None:
+                # running-stat momentum updates (torch buffer semantics,
+                # TPAVI.py:57-63); routed out through the train step's aux
+                bn_state[f"tpavi_b{i+1}"] = {"mean": bn_new["mean"],
+                                             "var": bn_new["var"]}
             a_fea_list[i] = a_fea
             feature_map_list[i] = z.reshape(BT, H, W, C)
 
@@ -136,4 +151,6 @@ def apply_avs(params, cfg: SwinConfig, hcfg: AVSHeadConfig, a, v, train=False):
     # it receives, so the feature_map_list the caller (and the A-MaskedV simm
     # loss, AVS/loss.py:46) sees is relu(fm) — mirror that exactly.
     feature_map_list = [jax.nn.relu(fm) for fm in feature_map_list]
+    if return_state:
+        return pred, feature_map_list, a_fea_list, bn_state
     return pred, feature_map_list, a_fea_list

@@ -25,6 +25,18 @@ from . import optim as O
 from . import steps as S
 
 
+def _deep_update(dst, src):
+    """Merge a partial param subtree (e.g. BN running-stat updates) into a
+    full pytree, replacing only the leaves present in `src`."""
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_update(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 class Trainer:
     def __init__(self, *, loss_fn, eval_fn, params, base_lr: float,
                  head_lr_mult: float = 1.0, weight_decay: float = 5e-7,
@@ -74,8 +86,13 @@ class Trainer:
                 from ..runtime import mesh as M
                 batch = M.shard_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
-            self.train_p, self.opt_state, loss, _ = self.step_fn(
+            self.train_p, self.opt_state, loss, aux = self.step_fn(
                 self.train_p, self.frozen_p, self.opt_state, batch, sub)
+            if isinstance(aux, dict) and aux.get("state_updates"):
+                # mutable forward state (TPAVI BatchNorm running stats —
+                # torch buffer semantics): deep-merge into the frozen tree
+                self.frozen_p = _deep_update(self.frozen_p,
+                                             aux["state_updates"])
             loss_meter.update(float(loss))
             time_meter.update(time.time() - t0)
             self.global_step += 1

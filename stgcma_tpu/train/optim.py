@@ -27,9 +27,14 @@ HEAD_ROOTS = ("mlp_head", "avstask", "avqatask")
 
 
 def label_params(params) -> Any:
-    """Label every leaf 'head' / 'adapt' / 'frozen' by its tree path."""
+    """Label every leaf 'head' / 'adapt' / 'frozen' / 'buffer' by its tree
+    path. BatchNorm running stats (TPAVI W_z — AVS/model/TPAVI.py:57-63) are
+    'buffer': torch buffers receive momentum updates during forward, never
+    gradients, so they must not land in the Adam group."""
     def label(path, _):
         s = jax.tree_util.keystr(path)
+        if "'bn'" in s and ("'mean'" in s or "'var'" in s):
+            return "buffer"
         if any(f"'{h}'" in s for h in HEAD_ROOTS):
             return "head"
         if any(p in s for p in ADAPT_PATTERNS):
@@ -41,7 +46,8 @@ def label_params(params) -> Any:
 def trainable_mask(params, freeze_base: bool = True):
     labels = label_params(params)
     return jax.tree_util.tree_map(
-        lambda l: (l != "frozen") if freeze_base else True, labels)
+        lambda l: (l not in ("frozen", "buffer")) if freeze_base
+        else l != "buffer", labels)
 
 
 def split_params(params, mask):
@@ -114,6 +120,7 @@ def build_optimizer(params, base_lr: float, head_lr_mult: float = 1.0,
     tx = optax.multi_transform(
         {"adapt": scaled(1.0),
          "head": scaled(head_lr_mult),
-         "frozen": optax.set_to_zero()},
+         "frozen": optax.set_to_zero(),
+         "buffer": optax.set_to_zero()},
         label_params)
     return tx

@@ -27,10 +27,18 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True,
     """
 
     def cast(tree):
-        return jax.tree_util.tree_map(
-            lambda a: a.astype(compute_dtype)
-            if (a is not None and jnp.issubdtype(a.dtype, jnp.floating)) else a,
-            tree, is_leaf=lambda x: x is None)
+        def leaf(path, a):
+            if a is None or not jnp.issubdtype(a.dtype, jnp.floating):
+                return a
+            # BN running stats (buffers) stay fp32 so the momentum updates
+            # they seed are not quantized through bf16 (AVS trains fp32 in
+            # the reference — autocast is off for AVS)
+            s = jax.tree_util.keystr(path)
+            if "'bn'" in s and ("'mean'" in s or "'var'" in s):
+                return a
+            return a.astype(compute_dtype)
+        return jax.tree_util.tree_map_with_path(
+            leaf, tree, is_leaf=lambda x: x is None)
 
     def step_fn(train_params, frozen_params, opt_state, batch, rng):
         def inner(tp):
