@@ -110,6 +110,27 @@ def main(argv=None):
                     sd["avqatask_" + name] = v
         params, unexpected = TC.load_pretrained_swin2d(params, sd, cfg)
         print(f"loaded {args.pretrain_path}; unexpected: {len(unexpected)}")
+    elif args.grounding_pretrained:
+        # standalone grounding splice (no backbone ckpt): consume the
+        # tools.grounding_gen export (reference 'module.fc_*' layout) and
+        # copy matching-shaped head linears, like the reference's filtered
+        # load_state_dict (Swin_AVQAModel_V1.py:1520-1540)
+        import torch
+        g = torch.load(args.grounding_pretrained, map_location="cpu",
+                       weights_only=False)
+        spliced = []
+        for k, v in g.items():
+            name = k.replace("module.", "")
+            root, leaf = name.split(".")[0], name.split(".")[-1]
+            if root not in params["avqatask"]:
+                continue
+            key = "kernel" if leaf == "weight" else "bias"
+            arr = v.numpy().T if key == "kernel" else v.numpy()
+            if params["avqatask"][root][key].shape == arr.shape:
+                params["avqatask"][root][key] = jnp.asarray(arr)
+                spliced.append(name)
+        print(f"grounding splice: {len(spliced)} tensors "
+              f"({sorted(set(n.split('.')[0] for n in spliced))})")
 
     img = cfg.img_size
     fb = SWIN_FBANK if not args.tiny else dataclasses.replace(

@@ -84,6 +84,10 @@ def grounding_loss(p, audio, frames_pos, frames_neg):
 
 HEAD_KEYS = ("fc_a1", "fc_a2", "fc_gl", "fc1", "fc2", "fc3", "fc4")
 
+# r(2+1)d-18 video-model normalization stats (dataloader_grd_gen.py:21-22)
+R2P1D_MEAN = np.array([0.43216, 0.394666, 0.37645], np.float32)
+R2P1D_STD = np.array([0.22803, 0.22145, 0.216989], np.float32)
+
 
 def splice_into_avqa(avqa_params: Dict[str, Any], grd_params: Dict[str, Any]):
     """Move the pretrained grounding head into the AVQA tree
@@ -99,3 +103,291 @@ def splice_into_avqa(avqa_params: Dict[str, Any], grd_params: Dict[str, Any]):
         if src["kernel"].shape == dst["kernel"].shape:
             hp[k] = jax.tree_util.tree_map(lambda x: x, src)
     return avqa_params
+
+
+def export_torch_state_dict(params: Dict[str, Any], path: str):
+    """Save the grounding head in the reference checkpoint layout
+    ('module.<name>.weight/bias' torch state_dict, weight transposed to
+    torch's (out, in)) so run_adapt_avqa --grounding_pretrained consumes it
+    unchanged (main_grd_gen.py:224-227 torch.save of a DataParallel model).
+    Only the spliceable head linears are exported — the frozen ResNet
+    visual_net is not part of the splice (Swin_AVQAModel_V1.py:1520-1540)."""
+    import torch
+    sd = {}
+    for k in HEAD_KEYS:
+        sd[f"module.{k}.weight"] = torch.from_numpy(
+            np.asarray(params[k]["kernel"], np.float32).T.copy())
+        sd[f"module.{k}.bias"] = torch.from_numpy(
+            np.asarray(params[k]["bias"], np.float32).copy())
+    torch.save(sd, path)
+
+
+# ---------------------------------------------------------------------------
+# datasets (dataloader_grd_gen.py:64-127 schema)
+# ---------------------------------------------------------------------------
+
+class GroundingGenDataset:
+    """Pos/neg frame pairs + per-second VGGish audio.
+
+    Layout (dataloader_grd_gen.py:64-127): video_list = unique video_ids from
+    the TRAIN json; length = 10 * n_videos; item idx -> pos video idx//10,
+    frame idx%10; a negative frame is drawn from a different video; audio row
+    frame_flag of `audio_dir/<video>.npy` (VGGish, (10, 128)). Frames load
+    from `video_dir/<video>/` (sorted), resized to 224 (PIL bilinear) and
+    normalized with the r(2+1)d stats."""
+
+    def __init__(self, label_json: str, train_json: str, audio_dir: str,
+                 video_dir: str, seed: int = 1):
+        import json
+        import os
+        with open(train_json) as f:
+            samples = json.load(f)
+        self.video_list = list(dict.fromkeys(s["video_id"] for s in samples))
+        self.audio_dir = audio_dir
+        self.video_dir = video_dir
+        self.rng = np.random.RandomState(seed)
+        self._os = os
+
+    def __len__(self):
+        return 10 * len(self.video_list)
+
+    def _frame(self, video: str, flag: int) -> np.ndarray:
+        import os
+        from PIL import Image
+        d = os.path.join(self.video_dir, video)
+        files = sorted(os.listdir(d))
+        with Image.open(os.path.join(d, files[flag])) as im:
+            im = im.convert("RGB").resize((224, 224), Image.BILINEAR)
+            x = np.asarray(im, np.float32) / 255.0
+        return (x - R2P1D_MEAN) / R2P1D_STD
+
+    def __getitem__(self, idx: int):
+        pos_video = self.video_list[idx // 10]
+        flag = idx % 10
+        while True:
+            neg_idx = self.rng.randint(10 * len(self.video_list))
+            if neg_idx // 10 != idx // 10:
+                break
+        neg_video = self.video_list[neg_idx // 10]
+        audio = np.load(self._os.path.join(
+            self.audio_dir, pos_video + ".npy")).astype(np.float32)[flag]
+        return {"audio": audio,
+                "frame_pos": self._frame(pos_video, flag),
+                "frame_neg": self._frame(neg_video, neg_idx % 10)}
+
+
+class SyntheticGrounding:
+    """Deterministic stand-in (no data on disk) with fake 9-type labels for
+    the per-type test breakdown."""
+
+    _TYPES = [["Audio", "Counting"], ["Audio", "Comparative"],
+              ["Visual", "Counting"], ["Visual", "Location"],
+              ["Audio-Visual", "Existential"], ["Audio-Visual", "Counting"],
+              ["Audio-Visual", "Location"], ["Audio-Visual", "Comparative"],
+              ["Audio-Visual", "Temporal"]]
+
+    def __init__(self, n: int = 8, seed: int = 0, img: int = 224):
+        self.n = n
+        self.seed = seed
+        self.img = img
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int):
+        rng = np.random.RandomState(self.seed * 1000 + i)
+        return {"audio": rng.randn(128).astype(np.float32),
+                "frame_pos": rng.randn(self.img, self.img, 3).astype(np.float32),
+                "frame_neg": rng.randn(self.img, self.img, 3).astype(np.float32),
+                "qtype": self._TYPES[i % len(self._TYPES)]}
+
+
+# ---------------------------------------------------------------------------
+# trainer (main_grd_gen.py:27-237): Adam(lr) + StepLR(8, 0.1), CE on
+# interleaved pos/neg pairs, frozen visual_net, per-epoch + best ckpt
+# ---------------------------------------------------------------------------
+
+def _collate(items):
+    out = {}
+    for k in items[0]:
+        if k == "qtype":
+            out[k] = [it[k] for it in items]
+        else:
+            out[k] = np.stack([it[k] for it in items])
+    return out
+
+
+def _batches(ds, batch_size, shuffle, rng):
+    idx = np.arange(len(ds))
+    if shuffle:
+        rng.shuffle(idx)
+    for i in range(0, len(idx), batch_size):
+        yield _collate([ds[j] for j in idx[i:i + batch_size]])
+
+
+def main(argv=None):
+    import argparse
+    import os
+    import optax
+
+    def s2b(v):
+        return str(v).lower() in ("1", "true", "yes")
+
+    p = argparse.ArgumentParser(
+        description="AVQA grounding-module pretraining "
+                    "(main_grd_gen.py flag surface)")
+    p.add_argument("--audio_dir", type=str, default="./data/feats/vggish")
+    p.add_argument("--video_dir", type=str, default="./data/frames")
+    p.add_argument("--label_train", type=str,
+                   default="./data/json/avqa-train_real.json")
+    p.add_argument("--label_val", type=str,
+                   default="./data/json/avqa-val_real.json")
+    p.add_argument("--label_test", type=str,
+                   default="./data/json/avqa-test_real.json")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--mode", type=str, default="train",
+                   choices=["train", "val", "test"])
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--model_save_dir", type=str,
+                   default="./models_grounding_gen/")
+    p.add_argument("--checkpoint", type=str, default="main_grounding_gen")
+    p.add_argument("--synthetic", type=s2b, default=False,
+                   help="train on deterministic random tensors (no data dirs)")
+    p.add_argument("--synthetic_n", type=int, default=8)
+    p.add_argument("--resnet_pretrained", type=str, default="",
+                   help="torchvision resnet18 .pth for the frozen visual net")
+    args = p.parse_args(argv)
+
+    np.random.seed(args.seed)
+    params = init_grounding(jax.random.PRNGKey(args.seed))
+    if args.resnet_pretrained:
+        import torch
+        from ..checkpoint.torch_convert import load_resnet18
+        sd = torch.load(args.resnet_pretrained, map_location="cpu",
+                        weights_only=False)
+        params["visual_net"] = load_resnet18(params["visual_net"], sd)
+        print(f"loaded resnet18 weights from {args.resnet_pretrained}")
+
+    if args.synthetic:
+        tr_ds = SyntheticGrounding(args.synthetic_n, seed=0)
+        va_ds = SyntheticGrounding(max(2, args.synthetic_n // 2), seed=7)
+        te_ds = va_ds
+    else:
+        tr_ds = GroundingGenDataset(args.label_train, args.label_train,
+                                    args.audio_dir, args.video_dir, args.seed)
+        va_ds = GroundingGenDataset(args.label_val, args.label_train,
+                                    args.audio_dir, args.video_dir, args.seed)
+        te_ds = GroundingGenDataset(args.label_test, args.label_train,
+                                    args.audio_dir, args.video_dir, args.seed)
+
+    # visual_net frozen (main_grd_gen.py:205-209); heads get torch-default
+    # Adam + StepLR(step_size=8, gamma=0.1) (main_grd_gen.py:211-212)
+    head = {k: params[k] for k in HEAD_KEYS}
+    frozen_visual = params["visual_net"]
+    steps_per_epoch = max(1, len(tr_ds) // args.batch_size)
+    step_to_epoch = jnp.repeat(jnp.arange(max(args.epochs, 1)),
+                               steps_per_epoch)
+
+    def lr_fn(step):
+        ep = step_to_epoch[jnp.minimum(step, step_to_epoch.shape[0] - 1)]
+        return args.lr * jnp.asarray(0.1, jnp.float32) ** (ep // 8)
+
+    tx = optax.adam(learning_rate=lr_fn)
+    opt_state = tx.init(head)
+
+    def arrays(batch):
+        return {k: v for k, v in batch.items() if k != "qtype"}
+
+    @jax.jit
+    def train_step(head, opt_state, batch):
+        def loss_of(h):
+            full = {**h, "visual_net": frozen_visual}
+            return grounding_loss(full, batch["audio"][:, None],
+                                  batch["frame_pos"][:, None],
+                                  batch["frame_neg"][:, None])
+        loss, grads = jax.value_and_grad(loss_of)(head)
+        updates, opt_state = tx.update(grads, opt_state, head)
+        return optax.apply_updates(head, updates), opt_state, loss
+
+    @jax.jit
+    def infer(head, batch):
+        full = {**head, "visual_net": frozen_visual}
+        out_pos = apply_grounding(full, batch["audio"][:, None],
+                                  batch["frame_pos"][:, None])
+        out_neg = apply_grounding(full, batch["audio"][:, None],
+                                  batch["frame_neg"][:, None])
+        n = out_pos.shape[0]
+        out = jnp.stack([out_pos, out_neg], axis=1).reshape(2 * n, -1)
+        return jnp.argmax(out, axis=-1)
+
+    def evaluate(head, ds):
+        correct = total = 0
+        rng = np.random.RandomState(0)
+        for batch in _batches(ds, args.batch_size, False, rng):
+            pred = np.asarray(infer(head, arrays(batch)))
+            target = np.tile([1, 0], pred.shape[0] // 2)
+            correct += int((pred == target).sum())
+            total += pred.shape[0]
+        acc = 100.0 * correct / max(total, 1)
+        print(f"Accuracy: {acc:.2f} %")
+        return acc
+
+    def test_types(head, ds):
+        """Per-question-type breakdown (main_grd_gen.py:72-148; requires the
+        dataset to expose a 'qtype' per item — synthetic or a real test json
+        zipped by index as the reference does with batch_size=1)."""
+        from ..metrics.stats import avqa_type_accuracy
+        preds, answers, qtypes = [], [], []
+        rng = np.random.RandomState(0)
+        for batch in _batches(ds, 1, False, rng):
+            pred = np.asarray(infer(head, arrays(batch)))
+            preds.extend(pred.tolist())
+            answers.extend([1, 0])
+            t = batch.get("qtype", [["", ""]])[0]
+            qtypes.extend([t, t])
+        res = avqa_type_accuracy(preds, answers, qtypes)
+        for k, v in sorted(res.items()):
+            print(f"{k} Accuracy: {v:.2f} %")
+        return res.get("Overall", 0.0)
+
+    os.makedirs(args.model_save_dir, exist_ok=True)
+
+    def ckpt_path(tag):
+        return os.path.join(args.model_save_dir,
+                            f"{args.checkpoint}{tag}.pt")
+
+    if args.mode == "train":
+        best = -1.0
+        rng = np.random.RandomState(args.seed)
+        for epoch in range(1, args.epochs + 1):
+            for bi, batch in enumerate(
+                    _batches(tr_ds, args.batch_size, True, rng)):
+                head, opt_state, loss = train_step(head, opt_state, arrays(batch))
+                if bi % args.log_interval == 0:
+                    print(f"Train Epoch: {epoch} [{bi}]\t"
+                          f"Loss: {float(loss):.6f}")
+            acc = evaluate(head, va_ds)
+            export_torch_state_dict(head, ckpt_path(str(epoch)))
+            if acc >= best:
+                best = acc
+                export_torch_state_dict(head, ckpt_path("_best"))
+        print(f"done. best val acc {best:.2f} %")
+    else:
+        import torch
+        sd = torch.load(ckpt_path("_best"), map_location="cpu",
+                        weights_only=False)
+        for k in HEAD_KEYS:
+            head[k] = {"kernel": jnp.asarray(
+                sd[f"module.{k}.weight"].numpy().T),
+                "bias": jnp.asarray(sd[f"module.{k}.bias"].numpy())}
+        if args.mode == "val":
+            evaluate(head, va_ds)
+        else:
+            test_types(head, te_ds)
+
+
+if __name__ == "__main__":
+    main()
