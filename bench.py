@@ -238,7 +238,7 @@ def main():
 
     extras = []
     if os.environ.get("BENCH_EXTRAS", "1") == "1":
-        if os.environ.get("BENCH_INT8", "0") == "1":
+        if os.environ.get("BENCH_INT8", "1") == "1":
             run_extra("int8", lambda: _bench_infer(model, B, int8=True),
                       lambda cps8: {
                           "metric": f"AVE {name} fusion inference, int8 frozen "

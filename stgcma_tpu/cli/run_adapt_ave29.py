@@ -55,6 +55,35 @@ def parse_args(argv=None):
     p.add_argument("--dataset_std", type=float, default=4.485)
     # waveform mixup probability (reference default 0 — AVE/run_adapt_ave29.py)
     p.add_argument("--mixup", type=float, default=0.0)
+    # balanced sampling (AVE/run_adapt_ave29.py:101-111): per-sample weights
+    # csv -> WeightedRandomSampler-with-replacement semantics
+    p.add_argument("--bal", default="none",
+                   help="'bal' enables the weighted sampler (needs --weight_csv)")
+    p.add_argument("--weight_file", default=None,
+                   help="reference weight-file suffix (accepted; use "
+                        "--weight_csv for the explicit path)")
+    p.add_argument("--weight_csv", default="",
+                   help="per-sample weights csv for --bal bal")
+    # LR scheduler selection (AVE/traintest_adapt_ave29.py:79-107)
+    p.add_argument("--lr_adapt", type=str2bool, default=False,
+                   help="ReduceLROnPlateau(mode=max, factor=0.5)")
+    p.add_argument("--lr_patience", type=int, default=2)
+    p.add_argument("--lr_cosine_adapt", type=str2bool, default=True)
+    p.add_argument("--lrscheduler_start", type=int, default=10)
+    p.add_argument("--lrscheduler_step", type=int, default=5)
+    p.add_argument("--lrscheduler_decay", type=float, default=0.5)
+    # accepted-but-inert in the reference launch configs (freqm/timem/noise
+    # are parsed by the reference drivers and passed with 0/False; label
+    # smoothing is parsed and never applied) — accept and warn when set
+    p.add_argument("--freqm", type=int, default=0)
+    p.add_argument("--timem", type=int, default=0)
+    p.add_argument("--noise", type=str2bool, default=False)
+    p.add_argument("--label_smooth", type=float, default=0.0)
+    # post-train multi-frame ensemble eval (AVE/run_adapt_ave29.py:230-283);
+    # True skips it (the reference default path)
+    p.add_argument("--skip_frame_agg", type=str2bool, default=True)
+    p.add_argument("--total_frames", type=int, default=1)
+    p.add_argument("--metrics", default="acc", choices=["acc", "mAP"])
     # data roots (replacing hard-coded ./STG-CMA/... paths)
     p.add_argument("--train_order_h5", default="")
     p.add_argument("--test_order_h5", default="")
@@ -129,8 +158,23 @@ def main(argv=None):
                            args.audio_root, cfg.num_frames, mode="eval",
                            annotations_txt=args.annotations_txt)
 
+    for flag in ("freqm", "timem", "noise", "label_smooth"):
+        if getattr(args, flag):
+            print(f"warning: --{flag} is accepted for reference-surface "
+                  "compatibility but has no effect (the reference parses it "
+                  "and the launch configs pass 0/False)")
+
+    weights = None
+    if args.bal == "bal":
+        print("balanced sampler is being used")
+        if not args.weight_csv:
+            raise SystemExit("--bal bal requires --weight_csv (per-sample "
+                             "weights, one float per line)")
+        weights = np.loadtxt(args.weight_csv, delimiter=",")
+    else:
+        print("balanced sampler is not used")
     tr = DataLoader(tr_ds, args.batch_size, shuffle=True,
-                    num_workers=args.num_workers)
+                    num_workers=args.num_workers, sample_weights=weights)
     te = DataLoader(te_ds, args.batch_size, shuffle=False,
                     num_workers=args.num_workers, drop_last=False)
 
@@ -151,23 +195,69 @@ def main(argv=None):
     def infer(p, a, v):
         return apply_raw(p, cfg, a, v)
 
+    # scheduler precedence mirrors AVE/traintest_adapt_ave29.py:79-107
+    lr_mode = ("plateau" if args.lr_adapt
+               else "cosine" if args.lr_cosine_adapt else "multistep")
     trainer = Trainer(
         loss_fn=loss_fn, eval_fn=make_eval_fn(infer, eval_pipe, args.n_class),
         params=params, base_lr=args.lr, head_lr_mult=args.head_lr,
         n_epochs=args.n_epochs, steps_per_epoch=max(len(tr), 1),
         warmup_epochs=args.warmup_epochs, min_lr=args.min_lr,
-        exp_dir=args.exp_dir, freeze_base=args.freeze_base)
+        exp_dir=args.exp_dir, freeze_base=args.freeze_base,
+        lr_mode=lr_mode, plateau_patience=args.lr_patience,
+        multistep=(args.lrscheduler_start, args.lrscheduler_step,
+                   args.lrscheduler_decay))
     trainer.fit(tr, te, rng, resume=args.resume)
 
+    final_params = trainer.params()
     if args.wa:
         from ..checkpoint.io import load_checkpoint
         like = trainer.params()
         trees = [load_checkpoint(os.path.join(args.exp_dir, "models", f"model.{e}"),
                                  jax.tree_util.tree_map(lambda x: x, like))
                  for e in range(args.wa_start, min(args.wa_end, args.n_epochs) + 1)]
-        wa_params = weight_average(trees)
-        metrics = make_eval_fn(infer, eval_pipe, args.n_class)(wa_params, te)
+        final_params = weight_average(trees)
+        metrics = make_eval_fn(infer, eval_pipe, args.n_class)(final_params, te)
         print("weight-averaged eval:", metrics)
+
+    if not args.skip_frame_agg:
+        # multi-frame ensemble eval (AVE/run_adapt_ave29.py:230-283):
+        # softmax/sigmoid outputs averaged over frame configurations
+        # (total_frames=1 in the reference), metric per frame + ensembled,
+        # results appended to mul_frame_res.csv
+        res, multiframe_pred, target = [], [], None
+        for frame in range(args.total_frames):
+            outs, tgts = [], []
+            for batch in te:
+                a, v = eval_pipe(batch)
+                logits = np.asarray(infer(final_params, a, v), np.float32)
+                outs.append(logits)
+                tgts.append(np.asarray(batch["labels"]).reshape(-1, args.n_class))
+            output = np.concatenate(outs)
+            target = np.concatenate(tgts)
+            stats = calculate_stats(output, target)
+            if args.metrics == "acc":
+                ex = output - output.max(-1, keepdims=True)
+                output = np.exp(ex) / np.exp(ex).sum(-1, keepdims=True)
+                cur = stats[0]["acc"]
+                print(f"acc of frame {frame} is {cur:.4f}")
+            else:
+                output = 1.0 / (1.0 + np.exp(-output))
+                cur = float(np.nanmean([s["AP"] for s in stats]))
+                print(f"mAP of frame {frame} is {cur:.4f}")
+            multiframe_pred.append(output)
+            res.append(cur)
+        mf = np.mean(multiframe_pred, axis=0)
+        if args.metrics == "acc":
+            ens = float(np.mean(np.argmax(target, 1) == np.argmax(mf, 1)))
+            print(f"multi-frame acc is {ens:f}")
+        else:
+            ens = float(np.nanmean(
+                [s["AP"] for s in calculate_stats(mf, target)]))
+            print(f"multi-frame mAP is {ens:.4f}")
+        res.append(ens)
+        np.savetxt(os.path.join(args.exp_dir, "mul_frame_res.csv"),
+                   np.asarray(res), delimiter=",")
     print("done. best epoch", trainer.best_epoch, "best", trainer.best_metric)
     return trainer
 

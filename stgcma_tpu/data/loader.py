@@ -32,11 +32,15 @@ def collate(items):
 
 
 class DataLoader:
-    """Minimal prefetching loader: parallel __getitem__ decode, FIFO batches."""
+    """Minimal prefetching loader: parallel __getitem__ decode, FIFO batches.
+
+    sample_weights: per-item weights for balanced sampling — each epoch draws
+    len(weights) indices WITH replacement, p proportional to weight (torch
+    WeightedRandomSampler semantics, AVE/run_adapt_ave29.py:101-111)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, drop_last: bool = True, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, sample_weights=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -45,6 +49,11 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        if sample_weights is not None:
+            sample_weights = np.asarray(sample_weights, np.float64)
+            assert len(sample_weights) == len(dataset), \
+                "sample_weights must have one entry per dataset item"
+        self.sample_weights = sample_weights
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -53,9 +62,15 @@ class DataLoader:
         return n
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        if self.sample_weights is not None:
+            rs = np.random.RandomState(self.seed + self.epoch)
+            p = self.sample_weights / self.sample_weights.sum()
+            idx = rs.choice(len(self.dataset), size=len(self.dataset),
+                            replace=True, p=p)
+        else:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         self.epoch += 1
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]

@@ -108,10 +108,12 @@ def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
     import os
     from ..ops.pallas_attn import clip_temporal_megakernel
-    quantized = "kernel" not in p["attn"]["in_proj"]
-    if fused_attention_enabled() and heads <= 16 and not quantized \
-            and jax.default_backend() != "cpu" \
-            and os.environ.get("STGCMA_CLIP_TADAPT_FUSED", "0") == "1":
+    # whole-block fusion measured NEUTRAL for int8 too (243.5 vs 244.8
+    # clips/s r3) — the separate int8 kernels are already near floor; the
+    # fused temporal+adapter variant stays opt-in
+    tadapt_fused = os.environ.get("STGCMA_CLIP_TADAPT_FUSED", "0") == "1"
+    if fused_attention_enabled() and heads <= 16 \
+            and jax.default_backend() != "cpu" and tadapt_fused:
         # one kernel: LN + qkv + attn + proj + T_Adapter + residual
         from ..ops.pallas_clip_block import clip_temporal_adapt_block
         xt = clip_temporal_adapt_block(p["attn"], p["ln_1"], p[adapter_key],
@@ -144,7 +146,6 @@ def _fusion(p, v, a, cfg: ClipConfig):
     import os
     from ..ops.pallas_attn import fused_attention_enabled
     if fused_attention_enabled() and h <= 16 and jax.default_backend() != "cpu" \
-            and "kernel" in p["attn"]["in_proj"] \
             and os.environ.get("STGCMA_CLIP_WHOLE_BLOCK", "0") == "1":
         # whole-block megakernel: spatial attn + dual STG-CMA fusion + FFN
         # in one VMEM pass (ops/pallas_clip_block.py)

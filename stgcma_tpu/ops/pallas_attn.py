@@ -1049,12 +1049,13 @@ def _quant_rows(xf):
     return xq, sx
 
 
-def _dotq(xf, wq_ref, ws_ref):
-    """fp32 activations -> fused row-quant -> int8 MXU dot -> dequant (fp32)."""
+def _dotq(xf, wq, ws):
+    """fp32 activations -> fused row-quant -> int8 MXU dot -> dequant (fp32).
+    wq: int8 (K, N); ws: fp32 (1, N) per-out-channel scales."""
     xq, sx = _quant_rows(xf)
-    acc = jax.lax.dot_general(xq, wq_ref[:], (((1,), (0,)), ((), ())),
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * sx * ws_ref[:]
+    return acc.astype(jnp.float32) * sx * ws
 
 
 def _win_block_q_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
@@ -1070,7 +1071,7 @@ def _win_block_q_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
     xn = xn * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
-    qkv = (_dotq(xn, wqkv_ref, sqkv_ref)
+    qkv = (_dotq(xn, wqkv_ref[:], sqkv_ref[:])
            + bqkv_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
 
     nWb = bm_ref.shape[0]
@@ -1090,7 +1091,7 @@ def _win_block_q_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                                  preferred_element_type=jnp.float32)
         outs.append(oh.astype(jnp.bfloat16).reshape(TW * N, dh))
     o = jnp.concatenate(outs, axis=-1)          # (TW*N, C) heads merged
-    o = _dotq(o.astype(jnp.float32), wproj_ref, sproj_ref)
+    o = _dotq(o.astype(jnp.float32), wproj_ref[:], sproj_ref[:])
     o = o + bproj_ref[:].astype(jnp.float32)
     o_ref[:] = o.astype(o_ref.dtype).reshape(TW, N, C)
 
@@ -1146,13 +1147,13 @@ def _ffn_q_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
     xn = xn * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
-    h = _dotq(xn, w1_ref, s1_ref) + b1_ref[:].astype(jnp.float32)
+    h = _dotq(xn, w1_ref[:], s1_ref[:]) + b1_ref[:].astype(jnp.float32)
     if act == "quick_gelu":
         h = h * jax.nn.sigmoid(1.702 * h)
     else:
         from .pallas_clip_block import _erf
         h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
-    o = _dotq(h, w2_ref, s2_ref) + b2_ref[:].astype(jnp.float32)
+    o = _dotq(h, w2_ref[:], s2_ref[:]) + b2_ref[:].astype(jnp.float32)
     o_ref[:] = o.astype(o_ref.dtype)
 
 

@@ -44,7 +44,20 @@ def _ln(x, scale, bias, eps=1e-5):
             ).astype(x.dtype)
 
 
-def _self_attn(x, wqkv, bqkv, wproj, bproj, heads: int, n_real: int):
+def _linq(flat, w, s, b):
+    """Tower matmul: bf16 dot, or fused-dynamic-quant int8 dot when a scale
+    row `s` is provided (serving mode — see ops/pallas_attn._dotq)."""
+    if s is not None:
+        from .pallas_attn import _dotq
+        out = _dotq(flat.astype(jnp.float32), w, s)
+    else:
+        out = jnp.dot(flat, w.astype(flat.dtype),
+                      preferred_element_type=jnp.float32)
+    return out + b.astype(jnp.float32)
+
+
+def _self_attn(x, wqkv, bqkv, wproj, bproj, heads: int, n_real: int,
+               sqkv=None, sproj=None):
     """Per-tile multi-head self-attention. x: (TB, N, C) (already LN'ed).
     Padded key columns (>= n_real) are masked; padded query rows produce
     garbage that callers slice away."""
@@ -52,8 +65,7 @@ def _self_attn(x, wqkv, bqkv, wproj, bproj, heads: int, n_real: int):
     dh = C // heads
     scale = dh ** -0.5
     flat = x.reshape(TB * N, C)
-    qkv = jnp.dot(flat, wqkv.astype(x.dtype), preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv.astype(jnp.float32)).astype(x.dtype)
+    qkv = _linq(flat, wqkv, sqkv, bqkv).astype(x.dtype)
     outs = []
     for h in range(heads):
         q = qkv[:, h * dh:(h + 1) * dh].reshape(TB, N, dh) * scale
@@ -71,8 +83,8 @@ def _self_attn(x, wqkv, bqkv, wproj, bproj, heads: int, n_real: int):
                                  preferred_element_type=jnp.float32)
         outs.append(oh.astype(x.dtype).reshape(TB * N, dh))
     o = jnp.concatenate(outs, axis=-1)
-    o = jnp.dot(o, wproj.astype(x.dtype), preferred_element_type=jnp.float32)
-    return (o + bproj.astype(jnp.float32)).astype(x.dtype).reshape(TB, N, C)
+    o = _linq(o, wproj, sproj, bproj)
+    return o.astype(x.dtype).reshape(TB, N, C)
 
 
 def _erf(x):
@@ -132,15 +144,16 @@ def _xfuse(vh, ah, gate_v, gate_a, nv_real: int, na_real: int):
 
 
 def _fusion_block_kernel(v_ref, a_ref,
-                         ln1s, ln1b, wqkv, bqkv, wproj, bproj,
-                         ln2s, ln2b, wfc, bfc, wcp, bcp,
+                         ln1s, ln1b, wqkv, sqkv, bqkv, wproj, sproj, bproj,
+                         ln2s, ln2b, wfc, sfc, bfc, wcp, scp, bcp,
                          sav1k, sav1b, sav2k, sav2b,
                          saa1k, saa1b, saa2k, saa2b,
                          mav1k, mav1b, mav2k, mav2b,
                          maa1k, maa1b, maa2k, maa2b,
                          gv_ref, ga_ref,
                          vo_ref, ao_ref, *,
-                         heads: int, nv_real: int, na_real: int):
+                         heads: int, nv_real: int, na_real: int,
+                         quantized: bool = False):
     v = v_ref[:]
     a = a_ref[:]
     TB, Nv, C = v.shape
@@ -149,12 +162,14 @@ def _fusion_block_kernel(v_ref, a_ref,
     # supports only 32-bit scalar vector.extracts)
     gv = gv_ref[0]
     ga = ga_ref[0]
+    q_qkv = sqkv[:] if quantized else None
+    q_proj = sproj[:] if quantized else None
 
     # ---- spatial attention + S-adapter fusion --------------------------
     vs = _self_attn(_ln(v, ln1s[:], ln1b[:]), wqkv[:], bqkv[:], wproj[:],
-                    bproj[:], heads, nv_real)
+                    bproj[:], heads, nv_real, q_qkv, q_proj)
     a_s = _self_attn(_ln(a, ln1s[:], ln1b[:]), wqkv[:], bqkv[:], wproj[:],
-                     bproj[:], heads, na_real)
+                     bproj[:], heads, na_real, q_qkv, q_proj)
     vs_h = _adapter_h(vs.reshape(TB * Nv, C), sav1k[:], sav1b[:]
                       ).reshape(TB, Nv, -1)
     as_h = _adapter_h(a_s.reshape(TB * Na, C), saa1k[:], saa1b[:]
@@ -168,11 +183,12 @@ def _fusion_block_kernel(v_ref, a_ref,
     # ---- FFN + MLP-adapter fusion (token-wise: process v|a concatenated)
     x = jnp.concatenate([v.reshape(TB * Nv, C), a.reshape(TB * Na, C)], axis=0)
     xn = _ln(x, ln2s[:], ln2b[:])
-    h = jnp.dot(xn, wfc[:].astype(x.dtype), preferred_element_type=jnp.float32)
-    h = h + bfc[:].astype(jnp.float32)
-    h = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)     # QuickGELU
-    n = jnp.dot(h, wcp[:].astype(x.dtype), preferred_element_type=jnp.float32)
-    n = (n + bcp[:].astype(jnp.float32)).astype(x.dtype)
+    h = _linq(xn, wfc[:], sfc[:] if quantized else None, bfc[:])
+    h = h * jax.nn.sigmoid(1.702 * h)                       # QuickGELU (fp32)
+    if not quantized:
+        h = h.astype(x.dtype)
+    n = _linq(h, wcp[:], scp[:] if quantized else None, bcp[:])
+    n = n.astype(x.dtype)
     vn = n[:TB * Nv]
     an = n[TB * Nv:]
     vn_h = _adapter_h(vn, mav1k[:], mav1b[:]).reshape(TB, Nv, -1)
@@ -185,17 +201,25 @@ def _fusion_block_kernel(v_ref, a_ref,
 
 
 def _flat_args(p):
-    """Flatten the block param dict into the kernel operand list."""
+    """Flatten the block param dict into the kernel operand list. Tower
+    linears carry (kernel, scale) pairs: float towers get a dummy (1, 1)
+    scale the kernel never reads; int8 towers (ops/quant.py) pass
+    (kernel_q, kernel_s)."""
     att, mlp = p["attn"], p["mlp"]
     sv, sa = p["S_Adapter"], p["S_Adapter_Audio"]
     mv, ma = p["MLP_Adapter"], p["MLP_Adapter_Audio"]
+    dummy = jnp.zeros((1, 1), jnp.float32)
+
+    def wk(lp):
+        if "kernel_q" in lp:
+            return [lp["kernel_q"], lp["kernel_s"], lp["bias"]]
+        return [lp["kernel"], dummy, lp["bias"]]
+
     return [
         p["ln_1"]["scale"], p["ln_1"]["bias"],
-        att["in_proj"]["kernel"], att["in_proj"]["bias"],
-        att["out_proj"]["kernel"], att["out_proj"]["bias"],
+        *wk(att["in_proj"]), *wk(att["out_proj"]),
         p["ln_2"]["scale"], p["ln_2"]["bias"],
-        mlp["c_fc"]["kernel"], mlp["c_fc"]["bias"],
-        mlp["c_proj"]["kernel"], mlp["c_proj"]["bias"],
+        *wk(mlp["c_fc"]), *wk(mlp["c_proj"]),
         sv["D_fc1"]["kernel"], sv["D_fc1"]["bias"],
         sv["D_fc2"]["kernel"], sv["D_fc2"]["bias"],
         sa["D_fc1"]["kernel"], sa["D_fc1"]["bias"],
@@ -259,7 +283,8 @@ def _fusion_pallas(p, v, a, heads: int, tile_bt: int = 4):
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args]
     vo, ao = pl.pallas_call(
         functools.partial(_fusion_block_kernel, heads=heads,
-                          nv_real=Nv, na_real=Na),
+                          nv_real=Nv, na_real=Na,
+                          quantized="kernel_q" in p["attn"]["in_proj"]),
         out_shape=(jax.ShapeDtypeStruct((BTP, NvP, C), v.dtype),
                    jax.ShapeDtypeStruct((BTP, NaP, C), a.dtype)),
         grid=(BTP // TB,),
@@ -299,8 +324,9 @@ _fusion_block_op.defvjp(_fb_fwd, _fb_bwd)
 # (CLIP_AVE.py:369-377: v = v + T_Adapter(attention(ln_1(vt))))
 # ---------------------------------------------------------------------------
 
-def _tadapt_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
-                   a1k, a1b, a2k, a2b, bm_ref, o_ref, *, heads: int):
+def _tadapt_kernel(x_ref, ln1s, ln1b, wqkv, sqkv, bqkv, wproj, sproj, bproj,
+                   a1k, a1b, a2k, a2b, bm_ref, o_ref, *, heads: int,
+                   quantized: bool = False):
     """x: (TR, N, C) packed temporal rows; bm: (1, heads, N, N) additive mask
     (block-diagonal for packed rows + pad masking).
     o = x + T_Adapter(attn(ln(x))) with T_Adapter = fc2(gelu(fc1(.)))."""
@@ -309,8 +335,8 @@ def _tadapt_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
     dh = C // heads
     scale = dh ** -0.5
     flat = _ln(x, ln1s[:], ln1b[:]).reshape(TR * N, C)
-    qkv = jnp.dot(flat, wqkv[:].astype(x.dtype), preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv[:].astype(jnp.float32)).astype(x.dtype)
+    qkv = _linq(flat, wqkv[:], sqkv[:] if quantized else None, bqkv[:]
+                ).astype(x.dtype)
     outs = []
     for h in range(heads):
         q = qkv[:, h * dh:(h + 1) * dh].reshape(TR, N, dh) * scale
@@ -326,8 +352,8 @@ def _tadapt_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
                                  preferred_element_type=jnp.float32)
         outs.append(oh.astype(x.dtype).reshape(TR * N, dh))
     o = jnp.concatenate(outs, axis=-1)
-    o = jnp.dot(o, wproj[:].astype(x.dtype), preferred_element_type=jnp.float32)
-    o = (o + bproj[:].astype(jnp.float32)).astype(x.dtype)
+    o = _linq(o, wproj[:], sproj[:] if quantized else None, bproj[:]
+              ).astype(x.dtype)
     h1 = _adapter_h(o, a1k[:], a1b[:])
     res = _adapter_o(h1, a2k[:], a2b[:])
     o_ref[:] = x + res.reshape(TR, N, C)
@@ -343,12 +369,13 @@ def _tadapt_naive(attn_p, ln, ad_p, x, heads):
 
 
 def _tadapt_pallas(attn_p, ln, ad_p, x, heads: int, pack: int = 8):
-    """x: (R, T, C) temporal rows. Pads T->16, packs `pack` rows into one
-    block-diagonal 128-token gram (amortizes MXU pass latency over tiny T)."""
+    """x: (R, T, C) temporal rows. Packs `pack` rows into one block-diagonal
+    gram (amortizes MXU pass latency over tiny T); skips the T->16 pad when
+    pack*T is already sublane-aligned (T=10 -> 80 tokens)."""
     import numpy as np
     R, T, C = x.shape
-    TP = _round_up(T, 16)
-    xp = jnp.pad(x, ((0, 0), (0, TP - T), (0, 0)))
+    TP = T if (pack * T) % 16 == 0 else _round_up(T, 16)
+    xp = jnp.pad(x, ((0, 0), (0, TP - T), (0, 0))) if TP != T else x
     RP = _round_up(R, pack)
     xp = jnp.pad(xp, ((0, RP - R), (0, 0), (0, 0)))
     xp = xp.reshape(RP // pack, pack * TP, C)
@@ -365,13 +392,20 @@ def _tadapt_pallas(attn_p, ln, ad_p, x, heads: int, pack: int = 8):
     GP = _round_up(G, TG)
     if GP != G:
         xp = jnp.pad(xp, ((0, GP - G), (0, 0), (0, 0)))
+    dummy = jnp.zeros((1, 1), jnp.float32)
+    quantized = "kernel_q" in attn_p["in_proj"]
+
+    def wk(lp):
+        if "kernel_q" in lp:
+            return [lp["kernel_q"], lp["kernel_s"], lp["bias"]]
+        return [lp["kernel"], dummy, lp["bias"]]
+
     args = [ln["scale"], ln["bias"],
-            attn_p["in_proj"]["kernel"], attn_p["in_proj"]["bias"],
-            attn_p["out_proj"]["kernel"], attn_p["out_proj"]["bias"],
+            *wk(attn_p["in_proj"]), *wk(attn_p["out_proj"]),
             ad_p["D_fc1"]["kernel"], ad_p["D_fc1"]["bias"],
             ad_p["D_fc2"]["kernel"], ad_p["D_fc2"]["bias"]]
     out = pl.pallas_call(
-        functools.partial(_tadapt_kernel, heads=heads),
+        functools.partial(_tadapt_kernel, heads=heads, quantized=quantized),
         out_shape=jax.ShapeDtypeStruct((GP, pack * TP, C), x.dtype),
         grid=(GP // TG,),
         in_specs=[pl.BlockSpec((TG, pack * TP, C), lambda i: (i, 0, 0),

@@ -44,11 +44,37 @@ class Trainer:
                  warmup_epochs: int = 0, min_lr: float = 1e-7,
                  exp_dir: str = "./exp", freeze_base: bool = True,
                  compute_dtype=jnp.bfloat16, mesh=None, metric_name: str = "acc",
-                 save_every_epoch: bool = True):
+                 save_every_epoch: bool = True, lr_mode: str = "cosine",
+                 plateau_patience: int = 2, plateau_factor: float = 0.5,
+                 multistep=(10, 5, 0.5)):
+        """lr_mode mirrors the reference scheduler selection
+        (AVE/traintest_adapt_ave29.py:79-107): 'cosine' (lr_cosine_adapt,
+        the launch-config default), 'plateau' (lr_adapt -> ReduceLROnPlateau
+        mode=max factor=0.5), 'multistep' (the final fallback;
+        multistep=(start, step, decay))."""
         self.exp_dir = exp_dir
         os.makedirs(os.path.join(exp_dir, "models"), exist_ok=True)
-        lr_table = O.cosine_schedule(base_lr, min_lr, n_epochs, steps_per_epoch,
-                                     warmup_epochs)
+        if lr_mode == "cosine":
+            lr_table = O.cosine_schedule(base_lr, min_lr, n_epochs,
+                                         steps_per_epoch, warmup_epochs)
+        elif lr_mode == "multistep":
+            lr_table = O.multistep_schedule(base_lr, multistep[0], multistep[1],
+                                            multistep[2], n_epochs,
+                                            steps_per_epoch)
+        elif lr_mode == "plateau":
+            lr_table = np.full(n_epochs * steps_per_epoch, base_lr, np.float32)
+        else:
+            raise ValueError(f"unknown lr_mode {lr_mode}")
+        self.lr_mode = lr_mode
+        self.lr_table = lr_table
+        self.plateau_patience = plateau_patience
+        self.plateau_factor = plateau_factor
+        self._plateau_bad = 0
+        self._plateau_best = -np.inf
+        self._opt_args = dict(base_lr=base_lr, head_lr_mult=head_lr_mult,
+                              weight_decay=weight_decay)
+        self._loss_fn = loss_fn
+        self._compute_dtype = compute_dtype
         self.tx = O.build_optimizer(params, base_lr, head_lr_mult, weight_decay,
                                     lr_table=lr_table)
         self.train_p, self.frozen_p, self.opt_state, self.mask = \
@@ -72,6 +98,26 @@ class Trainer:
 
     def params(self):
         return O.merge_params(self.train_p, self.frozen_p)
+
+    def _maybe_plateau(self, metric: float):
+        """ReduceLROnPlateau(mode='max', factor, patience) — halve the LR
+        table when `metric` fails to improve for `patience` epochs. The Adam
+        moments survive; only the lr closure (and its jit) rebuilds."""
+        if self.lr_mode != "plateau":
+            return
+        if metric > self._plateau_best + 1e-4:
+            self._plateau_best = metric
+            self._plateau_bad = 0
+            return
+        self._plateau_bad += 1
+        if self._plateau_bad > self.plateau_patience:
+            self._plateau_bad = 0
+            self.lr_table = self.lr_table * self.plateau_factor
+            print(f"plateau: reducing lr to {self.lr_table[0]:.3e}")
+            self.tx = O.build_optimizer(None, lr_table=self.lr_table,
+                                        **self._opt_args)
+            self.step_fn = S.make_train_step(self._loss_fn, self.tx,
+                                             compute_dtype=self._compute_dtype)
 
     def train_epoch(self, epoch: int, batches: Iterable, rng) -> float:
         loss_meter, time_meter = AverageMeter(), AverageMeter()
@@ -153,6 +199,7 @@ class Trainer:
                 break
             metrics = self.validate(val_loader) if val_loader is not None else {}
             metric = metrics.get(self.metric_name, -loss)
+            self._maybe_plateau(metric)
             self.history.append({"epoch": epoch, "loss": loss, **metrics})
             self._write_results()
             if self.save_every_epoch:
@@ -167,10 +214,18 @@ class Trainer:
 
     def _write_results(self):
         path = os.path.join(self.exp_dir, "result.csv")
+        # fixed column order (union of keys, epoch/loss first) + header row —
+        # dict-order rows were fragile when metrics differ across epochs
+        cols = ["epoch", "loss"]
+        for row in self.history:
+            for k in row:
+                if k not in cols:
+                    cols.append(k)
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
+            w.writerow(cols)
             for row in self.history:
-                w.writerow(list(row.values()))
+                w.writerow([row.get(k, "") for k in cols])
         with open(os.path.join(self.exp_dir, "progress.json"), "w") as f:
             json.dump({"history": self.history, "best_epoch": self.best_epoch,
                        "best_metric": float(self.best_metric)}, f)

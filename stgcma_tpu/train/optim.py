@@ -83,6 +83,19 @@ def cosine_schedule(base_lr: float, min_lr: float, epochs: int, steps_per_epoch:
     return table.astype(np.float32)
 
 
+def multistep_schedule(base_lr: float, start: int, step: int, decay: float,
+                       epochs: int, steps_per_epoch: int) -> np.ndarray:
+    """torch MultiStepLR(milestones=range(start, 1000, step), gamma=decay) as
+    a per-step table (AVE/traintest_adapt_ave29.py:105-107 fallback)."""
+    table = np.empty(epochs * steps_per_epoch, np.float32)
+    for e in range(epochs):
+        n_hit = len([m for m in range(start, e + 1, step)]) if e + 1 >= start \
+            else 0
+        table[e * steps_per_epoch:(e + 1) * steps_per_epoch] = \
+            base_lr * decay ** n_hit
+    return table
+
+
 def torch_adam(lr_fn, weight_decay: float = 5e-7, b1: float = 0.95, b2: float = 0.999,
                eps: float = 1e-8):
     """torch.optim.Adam equivalence: L2 folded into the gradient before moments,
