@@ -116,8 +116,31 @@ def gen_avs(root):
                   3.0, seed=20 + ri)
 
 
+def gen_avs_ms3(root):
+    """MS3 schema: ms3_meta_data.csv has NO category column (multi-source
+    clips are uncategorized — AVS/preprocess/preprocess_ms3.py stores frames
+    without the per-category directory level)."""
+    rows = [("fxm_duo", "train"), ("fxm_band", "train"), ("fxm_trio", "test")]
+    with open(os.path.join(root, "ms3_meta_data.csv"), "w") as f:
+        f.write("name,split\n")
+        for name, split in rows:
+            f.write(f"{name},{split}\n")
+    for ri, (name, split) in enumerate(rows):
+        for k in range(1, 6):
+            write_jpg(os.path.join(root, "visual_frames", split, name,
+                                   f"{name}_{k}.png"), seed=500 + ri * 100 + k)
+        n_masks = 1 if split == "train" else 5
+        for k in range(1, n_masks + 1):
+            write_mask_png(os.path.join(root, "gt_masks", split, name,
+                                        f"{name}_{k}.png"),
+                           seed=500 + ri * 100 + k)
+        write_wav(os.path.join(root, "audio_wav", split, name + ".wav"),
+                  3.0, seed=60 + ri)
+
+
 def main():
-    for sub, gen in (("ave", gen_ave), ("avqa", gen_avqa), ("avs", gen_avs)):
+    for sub, gen in (("ave", gen_ave), ("avqa", gen_avqa), ("avs", gen_avs),
+                     ("avs_ms3", gen_avs_ms3)):
         root = os.path.join(HERE, sub)
         os.makedirs(root, exist_ok=True)
         gen(root)

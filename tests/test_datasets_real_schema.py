@@ -86,3 +86,47 @@ def test_avs_real_schema():
     assert it["wave"].shape == (5, int(2000 * 1.95))
     ite = te[0]
     assert ite["masks"].shape == (5, 224, 224)      # test: 5 masks
+
+
+def test_avs_ms3_schema():
+    """MS3 meta (AVS/preprocess/preprocess_ms3.py): no category column; the
+    dataset path layout collapses the category level."""
+    root = os.path.join(FIX, "avs_ms3")
+    tr = AVSDataset(os.path.join(root, "ms3_meta_data.csv"), root,
+                    split="train")
+    te = AVSDataset(os.path.join(root, "ms3_meta_data.csv"), root,
+                    split="test")
+    assert len(tr) == 2 and len(te) == 1
+    it = tr[0]
+    assert it["frames"].shape == (5, 32, 32, 3)
+    assert it["masks"].shape == (1, 224, 224)
+    assert it["wave"].shape == (5, int(2000 * 1.95))
+    assert te[0]["masks"].shape == (5, 224, 224)
+
+
+def test_extract_audio_tool(tmp_path):
+    """AVQA extract_audio surface (AVQA/preprocessing/extract_audio.py:10-36):
+    iterate videos, skip existing wavs, survive undecodable files."""
+    from stgcma_tpu.tools import extract_audio as EA
+    vdir = tmp_path / "videos"
+    adir = tmp_path / "wav"
+    vdir.mkdir()
+    adir.mkdir()
+    for n in ("clip1.mp4", "clip2.mp4", "broken.mp4"):
+        (vdir / n).write_bytes(b"\x00" * 16)
+    (adir / "clip1.wav").write_bytes(b"RIFF")  # pre-existing -> skipped
+
+    calls = []
+
+    def fake_extract(video, out, sr):
+        if "broken" in video:
+            raise RuntimeError("undecodable")
+        calls.append((os.path.basename(video), os.path.basename(out), sr))
+        open(out, "wb").write(b"RIFF")
+
+    done, skipped, failed = EA.main(
+        ["--video_pth", str(vdir), "--save_pth", str(adir)],
+        extractor=fake_extract)
+    assert (done, skipped, failed) == (1, 1, 1)
+    assert calls == [("clip2.mp4", "clip2.wav", 16000)]
+    assert (adir / "clip2.wav").exists()
