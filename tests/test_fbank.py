@@ -107,3 +107,74 @@ def test_fbank_matches_frozen_golden():
     ours_clip = np.asarray(fbank(jnp.asarray(wave), CLIP_FBANK))
     np.testing.assert_allclose(ours_swin, g_swin, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(ours_clip, g_clip, rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# second oracle: torch-fp32 transcription of torchaudio.compliance.kaldi.fbank
+# (same dtype and op set as upstream: as_strided framing, replicate-pad
+# preemphasis, hann_window(periodic=False), fp32 rfft, eps-floored log).
+# torchaudio itself is not installed; docs/fbank_parity.md records the
+# step-by-step audit of these semantics against the upstream implementation.
+# ---------------------------------------------------------------------------
+
+def torch_kaldi_fbank(wave, num_mel_bins, frame_shift_ms):
+    import torch
+    sf = 16000.0
+    shift = int(sf * frame_shift_ms * 0.001)
+    ws = int(sf * 25.0 * 0.001)
+    padded = 512
+    w = torch.from_numpy(np.asarray(wave, np.float32))
+    m = 1 + (w.numel() - ws) // shift
+    frames = w.as_strided((m, ws), (shift, 1)).clone()
+    frames = frames - frames.mean(dim=1, keepdim=True)
+    prev = torch.nn.functional.pad(frames.unsqueeze(0), (1, 0),
+                                   mode="replicate").squeeze(0)[:, :-1]
+    frames = frames - 0.97 * prev
+    frames = frames * torch.hann_window(ws, periodic=False)
+    frames = torch.nn.functional.pad(frames, (0, padded - ws))
+    power = torch.fft.rfft(frames).abs().pow(2.0)
+
+    def mel(f):
+        return 1127.0 * torch.log(1.0 + f / 700.0)
+
+    mel_lo = mel(torch.tensor(20.0))
+    mel_hi = mel(torch.tensor(sf / 2))
+    delta = (mel_hi - mel_lo) / (num_mel_bins + 1)
+    left = mel_lo + torch.arange(num_mel_bins).unsqueeze(1) * delta
+    center, right = left + delta, left + 2 * delta
+    mel_f = mel(sf / padded * torch.arange(padded // 2)).unsqueeze(0)
+    up = (mel_f - left) / (center - left)
+    down = (right - mel_f) / (right - center)
+    banks = torch.clamp(torch.min(up, down), min=0.0)
+    banks = torch.nn.functional.pad(banks, (0, 1), value=0.0)  # nyquist col
+    mels = power @ banks.T
+    eps = torch.finfo(torch.float32).eps
+    return mels.clamp(min=eps).log().numpy()
+
+
+def test_fbank_matches_torch_fp32_oracle_swin():
+    rng = np.random.RandomState(3)
+    wave = (rng.randn(16000) * 0.1).astype(np.float32)
+    ours = np.asarray(fbank(jnp.asarray(wave), SWIN_FBANK))
+    oracle = torch_kaldi_fbank(wave, 224, 4.4)
+    assert ours.shape == oracle.shape == (223, 224)
+    np.testing.assert_allclose(ours, oracle, rtol=3e-3, atol=3e-3)
+
+
+def test_fbank_matches_torch_fp32_oracle_clip():
+    rng = np.random.RandomState(4)
+    wave = (rng.randn(16000) * 0.1).astype(np.float32)
+    ours = np.asarray(fbank(jnp.asarray(wave), CLIP_FBANK))
+    oracle = torch_kaldi_fbank(wave, 128, 10.0)
+    assert ours.shape == oracle.shape == (98, 128)
+    np.testing.assert_allclose(ours, oracle, rtol=3e-3, atol=3e-3)
+
+
+def test_fractional_shift_truncation():
+    """The 4.4 ms shift truncates to int(70.4) = 70 samples (kaldi
+    window_shift int cast) — 1 s of 16 kHz audio yields exactly
+    1 + (16000-400)//70 = 223 frames, zero-padded to the 224-row image."""
+    assert SWIN_FBANK.window_shift == 70
+    assert SWIN_FBANK.num_frames(16000) == 223
+    img = fbank_image(jnp.zeros((1, 16000)), SWIN_FBANK, 224, 0.0, 1.0)
+    assert img.shape == (1, 224, 224)
