@@ -167,8 +167,8 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
     B = BT // T
     t_index = jnp.asarray(_StaticCache.t_index(T))
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
-    quantized = "kernel" not in p["attn"]["qkv"]  # int8 serving (ops/quant.py)
-    if fused_attention_enabled() and st.num_heads <= 16 and not quantized:
+    if fused_attention_enabled() and st.num_heads <= 16:
+        # float AND int8 towers: the megakernel routes on 'kernel_q'
         from ..ops.pallas_attn import temporal_block_megakernel
         res = temporal_block_megakernel(p["attn"], p["norm1"], xt,
                                         st.num_heads, t_index, signal=signal)
@@ -195,6 +195,11 @@ def _ffn(p, x):
     so the kernel only engages above a hidden-size threshold (or via
     STGCMA_FUSED_FFN=1/0 override)."""
     import os
+    if fused_attention_enabled() and "kernel_q" in p["mlp"]["fc1"]:
+        # int8 tower: always the fused W8A8 FFN kernel (in-kernel activation
+        # quant is what makes int8 pay — ops/pallas_attn.py)
+        from ..ops.pallas_attn import ffn_q_megakernel
+        return ffn_q_megakernel(p["mlp"], p["norm2"], x)
     if fused_attention_enabled() and "kernel" in p["mlp"]["fc1"]:
         env = os.environ.get("STGCMA_FUSED_FFN")
         hidden = p["mlp"]["fc1"]["kernel"].shape[1]
@@ -215,9 +220,9 @@ def _spatial_windows(p, x, st: BlockStatic):
     mask_np = _StaticCache.mask(st.H, st.W, st.window_size, st.shift_size)
     mask = None if mask_np is None else jnp.asarray(mask_np)
     rel = jnp.asarray(_StaticCache.rel_index(st.window_size))
-    if fused_attention_enabled() and st.num_heads <= 16 \
-            and "kernel" in p["attn"]["qkv"]:
-        # full megakernel (LN+qkv+attn+proj). Mosaic compile time scales with
+    if fused_attention_enabled() and st.num_heads <= 16:
+        # full megakernel (LN+qkv+attn+proj; int8 routed on 'kernel_q').
+        # Mosaic compile time scales with
         # the unrolled head loop, so many-head stages use the v1 kernel below.
         from ..ops.pallas_attn import window_block_megakernel
         xr = x.reshape(BT, st.H, st.W, C)
@@ -299,7 +304,7 @@ def _dual_fusion(p, v, a, st: BlockStatic, nega=None):
 
     from ..ops.pallas_swin_block import (swin_fusion_whole_block,
                                          swin_whole_block_enabled)
-    if swin_whole_block_enabled(st) and "kernel" in p["attn"]["qkv"]:
+    if swin_whole_block_enabled(st):
         # whole-block megakernel: shifted W-MSA (mask-encoded windows,
         # no roll/partition/merge HBM copies) + spatial fusion + FFN +
         # joint fusion in ONE VMEM pass (ops/pallas_swin_block.py).

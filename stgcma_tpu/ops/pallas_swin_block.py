@@ -235,14 +235,15 @@ def _fullgrid_naive(p, v, a, heads: int, geo: _Geo):
 # ---------------------------------------------------------------------------
 
 def _swin_block_kernel(v_ref, a_ref,
-                       ln1s, ln1b, wqkv_r, bqkv_r, wproj, bproj,
-                       ln2s, ln2b, w1, b1, w2, b2,
+                       ln1s, ln1b, wqkv_r, sqkv_r, bqkv_r, wproj, sproj, bproj,
+                       ln2s, ln2b, w1, s1, b1, w2, s2, b2,
                        s2v1k, s2v1b, s2v2k, s2v2b,
                        s2a1k, s2a1b, s2a2k, s2a2b,
                        sgv1k, sgv1b, sgv2k, sgv2b,
                        sga1k, sga1b, sga2k, sga2b,
                        gv_ref, ga_ref, bias_ref, fmask_ref, jmask_ref,
-                       vo_ref, ao_ref, oh_scratch, *, heads: int, nW: int):
+                       vo_ref, ao_ref, oh_scratch, *, heads: int, nW: int,
+                       quantized: bool = False):
     """v/a: (TB, NP, C) with NP = nW * WS (window-major token layout; the
     row-major mask-encoded mode is the nW=1 special case). wqkv_r:
     (h, C, 3dh); bqkv_r: (h, 1, 3dh); wproj: (C, C); bias:
@@ -267,6 +268,10 @@ def _swin_block_kernel(v_ref, a_ref,
     rows = B2 * NP
     BW = B2 * nW
     xn = _ln(x2.reshape(rows, C), ln1s[:], ln1b[:])
+    if quantized:
+        # one per-row activation quant shared by every head's int8 qkv slab
+        from .pallas_attn import _quant_rows
+        xn_q, xn_s = _quant_rows(xn.astype(jnp.float32))
 
     def _one_head(qkv_h, bias_h):
         # qkv_h: (rows, 3dh) for one head; bias_h: (nW, WS, WS);
@@ -286,7 +291,12 @@ def _swin_block_kernel(v_ref, a_ref,
         return oh.astype(dt).reshape(rows, dh)
 
     def _head_qkv(h):
-        qkv_h = jnp.dot(xn, wqkv_r[h], preferred_element_type=jnp.float32)
+        if quantized:
+            acc = jax.lax.dot_general(xn_q, wqkv_r[h], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            qkv_h = acc.astype(jnp.float32) * xn_s * sqkv_r[h]
+        else:
+            qkv_h = jnp.dot(xn, wqkv_r[h], preferred_element_type=jnp.float32)
         return (qkv_h + bqkv_r[h].astype(jnp.float32)).astype(dt)
 
     if heads <= 16:
@@ -308,7 +318,12 @@ def _swin_block_kernel(v_ref, a_ref,
         # heads -> lanes via static concat (a (rows, h, dh) -> (rows, C)
         # shape cast is not lowerable; one concat keeps IR size O(h))
         o = jnp.concatenate([oh_scratch[h] for h in range(heads)], axis=-1)
-    acc = jnp.dot(o, wproj[:].astype(dt), preferred_element_type=jnp.float32)
+    if quantized:
+        from .pallas_attn import _dotq
+        acc = _dotq(o.astype(jnp.float32), wproj[:], sproj[:])
+    else:
+        acc = jnp.dot(o, wproj[:].astype(dt),
+                      preferred_element_type=jnp.float32)
     attn2 = (acc + bproj[:].astype(jnp.float32)).astype(dt).reshape(B2, NP, C)
     vs = attn2[:TB]
     a_s = attn2[TB:]
@@ -356,9 +371,16 @@ def _swin_block_kernel(v_ref, a_ref,
     # ---- FFN (both streams batched) --------------------------------------
     x2 = jnp.concatenate([v, a], axis=0).reshape(rows, C)
     xn2 = _ln(x2, ln2s[:], ln2b[:])
-    hmid = jnp.dot(xn2, w1[:], preferred_element_type=jnp.float32)
-    hmid = _gelu((hmid + b1[:].astype(jnp.float32)).astype(dt))
-    n2 = jnp.dot(hmid, w2[:], preferred_element_type=jnp.float32)
+    if quantized:
+        from .pallas_attn import _dotq
+        hmid = _dotq(xn2.astype(jnp.float32), w1[:], s1[:])
+        hmid = hmid + b1[:].astype(jnp.float32)
+        hmid = 0.5 * hmid * (1.0 + _erf(hmid * (2.0 ** -0.5)))
+        n2 = _dotq(hmid, w2[:], s2[:])
+    else:
+        hmid = jnp.dot(xn2, w1[:], preferred_element_type=jnp.float32)
+        hmid = _gelu((hmid + b1[:].astype(jnp.float32)).astype(dt))
+        n2 = jnp.dot(hmid, w2[:], preferred_element_type=jnp.float32)
     n2 = (n2 + b2[:].astype(jnp.float32)).astype(dt)
     vn = n2[:TB * NP]
     an = n2[TB * NP:]
@@ -416,24 +438,38 @@ def _fullgrid_pallas(p, v, a, geo_key, winmajor=None):
         jmask = jnp.asarray(geo.joint_mask_p)
 
     # per-head weight slabs: leading-dim indexed inside the kernel
-    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)               # (C, 3C)
+    quantized = "kernel_q" in p["attn"]["qkv"]
+    dummy = jnp.zeros((1, 1), jnp.float32)
+    wqkv = p["attn"]["qkv"]["kernel_q"] if quantized \
+        else p["attn"]["qkv"]["kernel"].astype(dt)             # (C, 3C)
     wq, wk, wv = wqkv[:, :C], wqkv[:, C:2 * C], wqkv[:, 2 * C:]
     def _slab(w):                                              # (C,C)->(h,C,dh)
         return w.reshape(C, heads, dh).transpose(1, 0, 2)
     wqkv_r = jnp.concatenate([_slab(wq), _slab(wk), _slab(wv)], axis=-1)
+    if quantized:
+        sq = p["attn"]["qkv"]["kernel_s"]                      # (1, 3C)
+        def _sslab(ss_):                                       # (1,C)->(h,1,dh)
+            return ss_.reshape(1, heads, dh).transpose(1, 0, 2)
+        sqkv_r = jnp.concatenate([_sslab(sq[:, :C]), _sslab(sq[:, C:2 * C]),
+                                  _sslab(sq[:, 2 * C:])], axis=-1)
+    else:
+        sqkv_r = jnp.zeros((heads, 1, 1), jnp.float32)
     bqkv = p["attn"]["qkv"]["bias"]
     bq, bk, bv = bqkv[:C], bqkv[C:2 * C], bqkv[2 * C:]
     # (h, 1, 3dh): singleton middle dim keeps the in-kernel dynamic head index
     # on an untiled leading dim (Mosaic can't prove sublane alignment on 2D)
     bqkv_r = jnp.concatenate([bq.reshape(heads, 1, dh), bk.reshape(heads, 1, dh),
                               bv.reshape(heads, 1, dh)], axis=-1)
+    def wkq(lp):
+        if quantized:
+            return [lp["kernel_q"], lp["kernel_s"], lp["bias"]]
+        return [lp["kernel"].astype(dt), dummy, lp["bias"]]
+
     args = [
         p["norm1"]["scale"], p["norm1"]["bias"],
-        wqkv_r, bqkv_r, p["attn"]["proj"]["kernel"].astype(dt),
-        p["attn"]["proj"]["bias"],
+        wqkv_r, sqkv_r, bqkv_r, *wkq(p["attn"]["proj"]),
         p["norm2"]["scale"], p["norm2"]["bias"],
-        p["mlp"]["fc1"]["kernel"].astype(dt), p["mlp"]["fc1"]["bias"],
-        p["mlp"]["fc2"]["kernel"].astype(dt), p["mlp"]["fc2"]["bias"],
+        *wkq(p["mlp"]["fc1"]), *wkq(p["mlp"]["fc2"]),
         p["S_Adapter2"]["D_fc1"]["kernel"].astype(dt), p["S_Adapter2"]["D_fc1"]["bias"],
         p["S_Adapter2"]["D_fc2"]["kernel"].astype(dt), p["S_Adapter2"]["D_fc2"]["bias"],
         p["S_Adapter2_Audio"]["D_fc1"]["kernel"].astype(dt), p["S_Adapter2_Audio"]["D_fc1"]["bias"],
@@ -450,7 +486,8 @@ def _fullgrid_pallas(p, v, a, geo_key, winmajor=None):
     # logits + fusion logits) to ~24 MB
     import os
     tb_env = os.environ.get("STGCMA_SWIN_WB_TB")
-    hid = p["mlp"]["fc1"]["kernel"].shape[1]
+    hid = (p["mlp"]["fc1"]["kernel_q"] if quantized
+           else p["mlp"]["fc1"]["kernel"]).shape[1]
     WSb = NP // nW
     per_tb = 2 * NP * hid * 4 + 4 * nW * WSb * WSb * 4 + 2 * NP * NP * 4
     TB = int(tb_env) if tb_env else max(1, min(BT, (24 << 20) // per_tb))
@@ -462,7 +499,8 @@ def _fullgrid_pallas(p, v, a, geo_key, winmajor=None):
                          memory_space=pltpu.VMEM)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args]
     vo, ao = pl.pallas_call(
-        functools.partial(_swin_block_kernel, heads=heads, nW=nW),
+        functools.partial(_swin_block_kernel, heads=heads, nW=nW,
+                          quantized=quantized),
         out_shape=(jax.ShapeDtypeStruct((BTP, NP, C), dt),
                    jax.ShapeDtypeStruct((BTP, NP, C), dt)),
         grid=(BTP // TB,),
