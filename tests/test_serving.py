@@ -79,3 +79,41 @@ def test_serve_stream_end_to_end(tmp_path):
     assert sorted(got) == list(range(5))
     for rid in got:
         assert np.isfinite(got[rid]).all()
+
+
+def test_host_decoder_rejects_heterogeneous_extras():
+    """A mixed micro-batch (some requests with extras, some without, or with
+    different extra keys) must fail loudly at decode time, not with a distant
+    KeyError in the task pipeline (ADVICE r2)."""
+    import os
+    import pytest
+    from stgcma_tpu.serving import HostDecoder, StreamRequest
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "ave",
+                        "raw_audio")
+    wav = os.path.join(fdir, sorted(os.listdir(fdir))[0])
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (2, 16, 16, 3), dtype=np.uint8)
+    dec = HostDecoder(num_segments=2, seg_samples=16000)
+    q = np.zeros((14,), np.int32)
+
+    # some-with, some-without
+    reqs = [StreamRequest(task="avqa", wav_path=wav, frames=frames, rid=0,
+                          extras={"question": q}),
+            StreamRequest(task="avqa", wav_path=wav, frames=frames, rid=1)]
+    with pytest.raises(ValueError, match="heterogeneous extras"):
+        dec(reqs)
+
+    # different keys
+    reqs = [StreamRequest(task="avqa", wav_path=wav, frames=frames, rid=0,
+                          extras={"question": q}),
+            StreamRequest(task="avqa", wav_path=wav, frames=frames, rid=1,
+                          extras={"other": q})]
+    with pytest.raises(ValueError, match="heterogeneous extras"):
+        dec(reqs)
+
+    # homogeneous extras pass
+    reqs = [StreamRequest(task="avqa", wav_path=wav, frames=frames, rid=i,
+                          extras={"question": q}) for i in range(2)]
+    batch = dec(reqs)
+    assert batch["question"].shape == (2, 14)
