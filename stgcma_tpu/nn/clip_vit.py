@@ -102,11 +102,21 @@ def _ffn_clip(p, x):
 def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
     """temporal adaptation: attention over the frame axis + no-skip T_Adapter +
     residual (CLIP_AVE.py:131-135). x: (B*T, N, C)."""
-    from ..ops.pallas_attn import fused_attention_enabled
+    import os
+    from ..ops.pallas_attn import fused_attention_enabled, temporal_adapt_v2
     BT, N, C = x.shape
     B = BT // T
+    if fused_attention_enabled() and heads <= 16 and T <= 16 \
+            and jax.default_backend() != "cpu" \
+            and os.environ.get("STGCMA_TV2", "0") == "1":
+        # transpose-free temporal kernel (opt-in): measured NEGATIVE on v5e
+        # both as rank-3 dots/TG=1 (188/228 clips/s bf16/int8) and as flat
+        # 2D dots/TG=2 (178/215) vs the packed no-pad path (196/245) — the
+        # in-VMEM (T,N)->(N,T) permute costs more than the XLA HBM
+        # transposes it replaces. Kept tested for other geometries.
+        return temporal_adapt_v2(p["attn"], p["ln_1"], p[adapter_key], x,
+                                 heads, T)
     xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
-    import os
     from ..ops.pallas_attn import clip_temporal_megakernel
     # whole-block fusion measured NEUTRAL for int8 too (243.5 vs 244.8
     # clips/s r3) — the separate int8 kernels are already near floor; the

@@ -1192,3 +1192,213 @@ def ffn_q_megakernel(mlp_p, ln, x, act: str = "gelu",
                         mlp_p[f2]["kernel_q"], mlp_p[f2]["kernel_s"],
                         mlp_p[f2]["bias"], act)
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# temporal v2: transpose-free temporal attention (+ optional adapter)
+#
+# The temporal stage needs tokens in (B*N, T, C) order, but the tower flows in
+# (B*T, N, C); the XLA transposes cost ~4 ms/model on CLIP-B (profile r3).
+# Observation: the (T, N, C) slab of ONE batch element is contiguous in the
+# (B*T, N, C) layout, so a grid-over-B kernel can DMA it untransposed and do
+# the (T, N) -> (N, T) permute entirely in VMEM. Per-token temporal attention
+# is then block-diagonal over packed n-groups (pad T->16 in VMEM, 8 tokens ->
+# one 128-wide gram); qkv/proj/adapter run on the unpermuted flat tokens.
+# Padded n rows only ever attend themselves (block-diagonal), so no n-masking
+# is needed; the caller slices them off.
+# ---------------------------------------------------------------------------
+
+def _tblock_v2_kernel(x_ref, lns, lnb, wqkv, sqkv, bqkv, wproj, sproj, bproj,
+                      a1k, a1b, a2k, a2b, bm_ref, o_ref, *, heads: int,
+                      quantized: bool, with_adapter: bool):
+    """x: (TG, T, NP, C) with NP a 16-multiple; bm: (1, heads, 128, 128)
+    block-diag temporal bias (T-pad masked); o = x + adapter(proj(attn(ln x)))
+    (or just the attention output when with_adapter=False)."""
+    x = x_ref[:]                                   # (TG, T, NP, C)
+    TG, T, NP, C = x.shape
+    dh = C // heads
+    scale = dh ** -0.5
+    TP = 16
+    rows = TG * T * NP
+    G = TG * (NP // 8)
+
+    flat = x.reshape(rows, C)                      # pure: NP % 16 == 0
+    xf = flat.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+    xn = xn * lns[:].astype(jnp.float32) + lnb[:].astype(jnp.float32)
+    if quantized:
+        xq, sx = _quant_rows(xn)
+        acc = jax.lax.dot_general(xq, wqkv[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        qkv = acc.astype(jnp.float32) * sx * sqkv[:]
+    else:
+        qkv = jnp.dot(xn.astype(x.dtype), wqkv[:].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv[:].astype(jnp.float32)).astype(x.dtype)
+
+    # VMEM permute to temporal-major + T pad + pack 8 n's per 128-token gram
+    qkvT = jnp.transpose(qkv.reshape(TG, T, NP, 3 * C), (0, 2, 1, 3))
+    qkvT = jnp.pad(qkvT, ((0, 0), (0, 0), (0, TP - T), (0, 0)))
+    qkvT = qkvT.reshape(G, 8 * TP, 3 * C)          # (G, 128, 3C)
+
+    outs = []
+    for h in range(heads):
+        q = qkvT[:, :, h * dh:(h + 1) * dh] * scale
+        k = qkvT[:, :, C + h * dh:C + (h + 1) * dh]
+        v = qkvT[:, :, 2 * C + h * dh:2 * C + (h + 1) * dh]
+        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        logits = logits + bm_ref[0, h][None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        outs.append(jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32
+                                        ).astype(x.dtype))
+    o = jnp.concatenate(outs, axis=-1)             # (G, 128, C)
+    o = o.reshape(TG, NP, TP, C)[:, :, :T]         # drop T pad
+    o = jnp.transpose(o, (0, 2, 1, 3)).reshape(rows, C)   # token-major
+    if quantized:
+        oq, so = _quant_rows(o.astype(jnp.float32))
+        acc = jax.lax.dot_general(oq, wproj[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        o = acc.astype(jnp.float32) * so * sproj[:]
+    else:
+        o = jnp.dot(o, wproj[:].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+    o = o + bproj[:].astype(jnp.float32)
+    if with_adapter:
+        from .pallas_clip_block import _erf
+        h1 = jnp.dot(o.astype(x.dtype), a1k[:].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+        h1 = h1 + a1b[:].astype(jnp.float32)
+        h1 = 0.5 * h1 * (1.0 + _erf(h1 * (2.0 ** -0.5)))
+        res = jnp.dot(h1.astype(x.dtype), a2k[:].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        res = res + a2b[:].astype(jnp.float32)
+        o_ref[:] = (flat.astype(jnp.float32) + res
+                    ).astype(o_ref.dtype).reshape(TG, T, NP, C)
+    else:
+        o_ref[:] = o.astype(o_ref.dtype).reshape(TG, T, NP, C)
+
+
+def _tv2_pallas(cp, ln, ad_p, x, bias, heads: int, T: int, tg: int = 2):
+    BT, N, C = x.shape
+    B = BT // T
+    NP = _round_up(N, 16)   # 16-mult: in-kernel (TG*T*NP, C) flatten is pure
+    x4 = x.reshape(B, T, N, C)
+    if NP != N:
+        x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
+    TG = min(tg, B)
+    BP = _round_up(B, TG)
+    if BP != B:
+        x4 = jnp.pad(x4, ((0, BP - B), (0, 0), (0, 0), (0, 0)))
+    TP = 16
+    blk = np.full((TP, TP), -1e30, np.float32)
+    blk[:, :T] = 0.0
+    bm_np = np.full((8 * TP, 8 * TP), -1e30, np.float32)
+    for j in range(8):
+        bm_np[j * TP:(j + 1) * TP, j * TP:(j + 1) * TP] = blk
+    bm = jnp.asarray(np.broadcast_to(bm_np, (1, heads) + bm_np.shape).copy())
+    if bias is not None:
+        biasp = jnp.pad(bias.astype(jnp.float32),
+                        ((0, 0), (0, TP - T), (0, TP - T)))
+        bm = bm + jnp.tile(biasp, (1, 8, 8))[None]           # (1,h,128,128)
+
+    quantized = "kernel_q" in cp["qkv"]
+    dummy = jnp.zeros((1, 1), jnp.float32)
+
+    def wk(lp):
+        if "kernel_q" in lp:
+            return [lp["kernel_q"], lp["kernel_s"], lp["bias"]]
+        return [lp["kernel"], dummy, lp["bias"]]
+
+    with_adapter = ad_p is not None
+    if with_adapter:
+        ad_args = [ad_p["D_fc1"]["kernel"], ad_p["D_fc1"]["bias"],
+                   ad_p["D_fc2"]["kernel"], ad_p["D_fc2"]["bias"]]
+    else:
+        ad_args = [dummy, dummy, dummy, dummy]
+    args = [ln["scale"], ln["bias"], *wk(cp["qkv"]),
+            *wk(cp["proj"]), *ad_args]
+    xspec = pl.BlockSpec((TG, T, NP, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tblock_v2_kernel, heads=heads,
+                          quantized=quantized, with_adapter=with_adapter),
+        out_shape=jax.ShapeDtypeStruct((BP, T, NP, C), x.dtype),
+        grid=(BP // TG,),
+        in_specs=[xspec] + [pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in args]
+        + [pl.BlockSpec((1, heads, 8 * TP, 8 * TP),
+                        lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=xspec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x4, *args, bm)
+    return out[:B, :, :N].reshape(BT, N, C)
+
+
+def _tv2_naive(cp, ln, ad_p, x, bias, heads: int, T: int):
+    """XLA mirror of the v2 kernel (backward recompute): explicit transposes +
+    temporal attention + optional adapter residual."""
+    from .attention import mha
+    from .common import layernorm, linear
+    BT, N, C = x.shape
+    B = BT // T
+    xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
+    xn = layernorm(ln, xt)
+    if bias is None:
+        attn_p = {"in_proj": cp["qkv"], "out_proj": cp["proj"]}
+        out = mha(attn_p, xn, xn, xn, heads)
+    else:
+        dh = C // heads
+        qkv = linear(cp["qkv"], xn).reshape(B * N, T, 3, heads, dh
+                                            ).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * dh ** -0.5, qkv[1], qkv[2]
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                            preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(logits + bias[None].astype(jnp.float32),
+                           axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+        out = linear(cp["proj"], o.transpose(0, 2, 1, 3).reshape(B * N, T, C))
+    if ad_p is not None:
+        from ..nn.adapters import adapter_apply
+        out = xt + adapter_apply(ad_p, out, skip=False)
+    return out.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(BT, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _tv2_op(cp, ln, ad_p, x, bias, heads, T):
+    return _tv2_pallas(cp, ln, ad_p, x, bias, heads, T)
+
+
+def _tv2_fwd(cp, ln, ad_p, x, bias, heads, T):
+    return _tv2_pallas(cp, ln, ad_p, x, bias, heads, T), \
+        (cp, ln, ad_p, x, bias)
+
+
+def _tv2_bwd(heads, T, res, g):
+    cp, ln, ad_p, x, bias = res
+    _, vjp = jax.vjp(lambda *a: _tv2_naive(*a, heads, T), cp, ln, ad_p, x,
+                     bias)
+    return vjp(g)
+
+
+_tv2_op.defvjp(_tv2_fwd, _tv2_bwd)
+
+
+def temporal_adapt_v2(attn_p, ln, ad_p, x, heads: int, T: int,
+                      bias=None,
+                      qkv_key: str = "in_proj", proj_key: str = "out_proj"):
+    """Transpose-free CLIP temporal stage: x (B*T, N, C) in SPATIAL layout ->
+    x + T_Adapter(MHA_time(LN(x))), still in spatial layout. `bias`: optional
+    (heads, T, T) additive temporal bias (Swin tables); None = zeros (CLIP).
+    """
+    cp = {"qkv": attn_p[qkv_key], "proj": attn_p[proj_key]}
+    if "kernel_q" in attn_p[qkv_key]:     # int8 serving: forward-only
+        return _tv2_pallas(cp, ln, ad_p, x, bias, heads, T)
+    return _tv2_op(cp, ln, ad_p, x, bias, heads, T)
