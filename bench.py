@@ -94,6 +94,55 @@ def _bench_infer(model: str, B: int, int8: bool = False):
     return B / per_iter
 
 
+def _int8_fidelity(model: str, B: int):
+    """Measured int8-vs-bf16 deviation of the SERVING path on device: max
+    relative logit deviation + top-1 agreement over a random eval batch.
+    Adapters/gates are randomized (zero-init adapters would leave the fusion
+    paths dead and understate the deviation). This is the honest proxy for
+    the AVE-accuracy delta absent real corpus checkpoints (VERDICT r2 #1)."""
+    import jax
+    import jax.numpy as jnp
+    from stgcma_tpu.configs import clip_b16, swin_base
+    from stgcma_tpu.models import ave
+    from stgcma_tpu.ops.quant import quantize_clip_tower, quantize_swin_tower
+
+    rng = np.random.RandomState(7)
+    if model.startswith("swin"):
+        cfg = swin_base(ftmode="fusion", label_dim=29)
+        params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
+        apply_fn, qf = ave.apply_swin_ave, quantize_swin_tower
+        a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
+        v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
+    else:
+        cfg = clip_b16(ftmode="fusion", label_dim=29)
+        params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
+        apply_fn, qf = ave.apply_clip_ave, quantize_clip_tower
+        a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
+        v_shape = (B, cfg.num_frames, cfg.input_resolution,
+                   cfg.input_resolution, 3)
+    keys = iter(jax.random.split(jax.random.PRNGKey(11), 4096))
+    params = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(next(keys), x.shape, jnp.float32) * 0.05
+        if hasattr(x, "ndim") and x.ndim >= 1 else x, params)
+    a = jnp.asarray(rng.randn(*a_shape), jnp.float32)
+    v = jnp.asarray(rng.randn(*v_shape), jnp.float32)
+
+    from stgcma_tpu.ops.common import cast_tree
+    p16 = cast_tree(params, jnp.bfloat16)
+    ref = np.asarray(jax.jit(lambda p: apply_fn(p, cfg, a.astype(jnp.bfloat16),
+                                                v.astype(jnp.bfloat16)))(p16),
+                     np.float32)
+    pq = dict(p16)
+    pq["backbone"] = qf(params["backbone"])
+    out = np.asarray(jax.jit(lambda p: apply_fn(p, cfg, a.astype(jnp.bfloat16),
+                                                v.astype(jnp.bfloat16)))(pq),
+                     np.float32)
+    rel = float(np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6))
+    agree = float((out.reshape(-1, out.shape[-1]).argmax(-1) ==
+                   ref.reshape(-1, ref.shape[-1]).argmax(-1)).mean())
+    return rel, agree
+
+
 def _bench_preprocess(B: int):
     """TPU-resident eval preprocess: uint8 frames + raw wave -> (a, v).
     Reports input GB/s (the BASELINE.json 'fbank+frame preprocess' metric)."""
@@ -126,6 +175,79 @@ def _bench_preprocess(B: int):
     per_iter = _timed_scan(lambda n: pipe_many(frames, wave, n))
     in_bytes = frames.size + wave.size * 4
     return (in_bytes / per_iter) / 1e9, B / per_iter
+
+
+def _bench_serving_device(B: int = 2):
+    """Multi-task serving rate on PRE-STAGED device batches (VERDICT r2 #10):
+    one Swin-Base frozen tower shared by AVE + AVQA + AVS heads
+    (serving.share_frozen_tower buffer aliasing), one batch of each task
+    dispatched per scan iteration at reference shapes (AVE T=10, AVQA T=10
+    3 streams, AVS T=5). Decoupled from the relay/host-decode transfer —
+    this is the achievable aggregate dispatch rate of the multi-task server.
+    Returns (clips_per_sec_aggregate, clips_per_iter)."""
+    import jax
+    import jax.numpy as jnp
+    from stgcma_tpu.configs import AVQAHeadConfig, AVSHeadConfig, swin_base
+    from stgcma_tpu.models import ave, avqa, avs
+    from stgcma_tpu.ops.common import cast_tree
+    from stgcma_tpu.serving import share_frozen_tower
+
+    rng = np.random.RandomState(3)
+    cfg_ave = swin_base(ftmode="fusion", label_dim=29)
+    cfg_avqa = swin_base(ftmode="fusion", num_frames=10,
+                         with_nega_stream=True)
+    cfg_avs = swin_base(ftmode="fusion", num_frames=5)
+    h_avqa = AVQAHeadConfig(feat_dim=cfg_avqa.num_features, grid=7,
+                            num_frames=10)
+    h_avs = AVSHeadConfig(
+        stage_dims=tuple(cfg_avs.stage_dim(i) for i in range(4)),
+        audio_dim=cfg_avs.num_features, num_frames=5)
+
+    p_ave = ave.init_swin_ave(jax.random.PRNGKey(0), cfg_ave)
+    p_avqa = avqa.init_avqa(jax.random.PRNGKey(1), cfg_avqa, h_avqa)
+    p_avs = avs.init_avs(jax.random.PRNGKey(2), cfg_avs, h_avs)
+    shared = share_frozen_tower(p_ave, {"avqa": p_avqa, "avs": p_avs})
+    p_ave = cast_tree(p_ave, jnp.bfloat16)
+    p_avqa = cast_tree(shared["avqa"], jnp.bfloat16)
+    p_avs = cast_tree(shared["avs"], jnp.bfloat16)
+
+    S = cfg_ave.img_size
+    f32 = jnp.bfloat16
+    a_ave = jnp.asarray(rng.randn(B, 10, S, S), f32)
+    v_ave = jnp.asarray(rng.randn(B, 10, S, S, 3), f32)
+    a_q = jnp.asarray(rng.randn(B, 10, S, S), f32)
+    v_q = jnp.asarray(rng.randn(B, 10, S, S, 3), f32)
+    vn_q = jnp.asarray(rng.randn(B, 10, S, S, 3), f32)
+    q_ids = jnp.asarray(rng.randint(0, 93, (B, 14)), jnp.int32)
+    a_s = jnp.asarray(rng.randn(B, 5, S, S), f32)
+    v_s = jnp.asarray(rng.randn(B, 5, S, S, 3), f32)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def serve_many(params3, av, ints, n):
+        p1, p2, p3 = params3
+        a1, v1, a2, v2, vn, a3, v3 = av
+        (qi,) = ints
+
+        def body(carry, _):
+            eps = (carry * 1e-8).astype(f32)
+            out1 = ave.apply_swin_ave(p1, cfg_ave, a1 + eps, v1 + eps)
+            qa, m_posi, _ = avqa.apply_avqa(p2, cfg_avqa, h_avqa, a2 + eps,
+                                            v2 + eps, vn + eps, qi)
+            pred, _, _ = avs.apply_avs(p3, cfg_avs, h_avs, a3 + eps, v3 + eps)
+            acc = (out1.astype(jnp.float32).mean() +
+                   qa.astype(jnp.float32).mean() +
+                   m_posi.astype(jnp.float32).mean() +
+                   pred.astype(jnp.float32).mean()) * 1e-6
+            return acc, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return acc
+
+    fn = lambda n: serve_many((p_ave, p_avqa, p_avs),
+                              (a_ave, v_ave, a_q, v_q, vn_q, a_s, v_s),
+                              (q_ids,), n)
+    per_iter = _timed_scan(fn, reps=3, n_small=1, n_large=5)
+    clips_per_iter = 3 * B
+    return clips_per_iter / per_iter, clips_per_iter
 
 
 def _bench_train(model: str, B: int):
@@ -244,6 +366,12 @@ def main():
                           "metric": f"AVE {name} fusion inference, int8 frozen "
                                     f"towers (serving mode, batch={B})",
                           "value": round(cps8, 2), "unit": "clips/sec/chip"})
+            run_extra("int8-fidelity", lambda: _int8_fidelity(model, B),
+                      lambda ra: {
+                          "metric": f"int8 serving fidelity vs bf16 ({name}, "
+                                    "randomized adapters)",
+                          "max_rel_logit_dev": round(ra[0], 4),
+                          "top1_agreement": round(ra[1], 4)})
         run_extra("preprocess", lambda: _bench_preprocess(B),
                   lambda r: {
                       "metric": "TPU-resident fbank+frame preprocess throughput",
@@ -256,6 +384,16 @@ def main():
                       "metric": f"AVE {name} fusion train step "
                                 f"(fwd+bwd+Adam, B=2, bf16)",
                       "value": round(sps, 3), "unit": "steps/sec"})
+        if os.environ.get("BENCH_SERVING", "1") == "1":
+            run_extra("serving-device",
+                      lambda: _bench_serving_device(
+                          int(os.environ.get("BENCH_SERVING_BATCH", "2"))),
+                      lambda r: {
+                          "metric": "multi-task serving clips/s "
+                                    "(device-resident, shared Swin-Base tower,"
+                                    " AVE+AVQA+AVS round-robin)",
+                          "value": round(r[0], 2), "unit": "clips/sec/chip",
+                          "clips_per_iter": r[1]})
 
     print(json.dumps({
         "metric": f"AVE {name} fusion inference throughput "

@@ -44,6 +44,13 @@ class SwinConfig:
     # per-block rematerialization (jax.checkpoint) — the reference plumbs
     # use_checkpoint=False through BasicLayer (Swin_AVE.py:1047-1052)
     use_checkpoint: bool = False
+    # lax.scan over (regular, shifted) block PAIRS for stages whose depth is
+    # even and >= this threshold (0 disables). Within a stage all even blocks
+    # share one BlockStatic and all odd blocks another, so scanning stacked
+    # pair params is numerically identical to the unrolled loop while making
+    # compile time O(1) in depth — this is what lets the full-depth (2,2,18,2)
+    # train step trace/compile quickly on the virtual multichip CPU mesh.
+    scan_blocks: int = 0
 
     @property
     def num_layers(self) -> int:

@@ -434,14 +434,37 @@ def backbone_init(key, cfg: SwinConfig) -> Dict[str, Any]:
 def _run_layers(params, cfg: SwinConfig, statics, x, collect_multiscale=False):
     """Run all stages. x is a tensor or tuple; returns (x, multi_scale list of the
     *visual* stream before each downsample — AVS taps, Swin_AVSModel.py:1811-1821)."""
+    import functools as _ft
     multi_scale = []
     for s, layer in enumerate(params["layers"]):
-        for i, bp in enumerate(layer["blocks"]):
+        blocks = layer["blocks"]
+        depth = len(blocks)
+        if cfg.scan_blocks and depth >= cfg.scan_blocks and depth % 2 == 0:
+            # All even blocks in a stage share one BlockStatic (shift=0) and
+            # all odd blocks another (shift=ws//2) — make_block_static depends
+            # on block_idx only via its parity — so a lax.scan over stacked
+            # (regular, shifted) pair params is numerically identical to the
+            # unrolled loop with O(1) compile time in depth.
+            st_e, st_o = statics[s][0], statics[s][1]
+            pairs = [{"e": blocks[2 * k], "o": blocks[2 * k + 1]}
+                     for k in range(depth // 2)]
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pairs)
+
+            def pair_body(x, bp, _st_e=st_e, _st_o=st_o):
+                x = block_apply(bp["e"], x, _st_e)
+                x = block_apply(bp["o"], x, _st_o)
+                return x, None
+
             if cfg.use_checkpoint:
-                import functools as _ft
-                x = jax.checkpoint(_ft.partial(block_apply, st=statics[s][i]))(bp, x)
-            else:
-                x = block_apply(bp, x, statics[s][i])
+                pair_body = jax.checkpoint(pair_body)
+            x, _ = jax.lax.scan(pair_body, x, stacked)
+        else:
+            for i, bp in enumerate(blocks):
+                if cfg.use_checkpoint:
+                    x = jax.checkpoint(
+                        _ft.partial(block_apply, st=statics[s][i]))(bp, x)
+                else:
+                    x = block_apply(bp, x, statics[s][i])
         if collect_multiscale:
             v_tap = x[0] if isinstance(x, tuple) else x
             if s == cfg.num_layers - 1:

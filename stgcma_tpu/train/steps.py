@@ -19,7 +19,7 @@ from .optim import merge_params, split_params, trainable_mask
 
 
 def make_train_step(loss_fn: Callable, tx, *, donate: bool = True,
-                    compute_dtype=jnp.bfloat16):
+                    compute_dtype=jnp.bfloat16, compiler_options=None):
     """loss_fn(params, batch, rng) -> (loss, aux). Returns
     train_step(train_params, frozen_params, opt_state, batch, rng, step).
 
@@ -54,7 +54,8 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True,
         return train_params, opt_state, loss, aux
 
     donate_argnums = (0, 2) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    return jax.jit(step_fn, donate_argnums=donate_argnums,
+                   compiler_options=compiler_options)
 
 
 def make_eval_step(apply_fn: Callable, compute_dtype=jnp.bfloat16):
