@@ -37,6 +37,23 @@ def fused_attention_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _exact_softmax() -> bool:
+    """STGCMA_EXACT_SOFTMAX=1 restores exact two-pass softmax math in the
+    fusion kernels (default: single-exp + approx-reciprocal, ~1e-4 rel)."""
+    import os
+    return os.environ.get("STGCMA_EXACT_SOFTMAX") == "1"
+
+
+def _pnorm(e):
+    """exp-numerator -> probabilities over the last axis (fp32). Default:
+    approx-reciprocal multiply (~1e-4 rel, VPU full-rate) instead of the
+    per-element divide; STGCMA_EXACT_SOFTMAX=1 restores the exact divide."""
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    if _exact_softmax():
+        return e / s
+    return e * pl.reciprocal(s, approx=True)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, nk_real: int):
     # q: (1, TQ, D), k: (1, NKP, D), v: (1, NKP, DV), o: (1, TQ, DV)
     q = q_ref[0]
@@ -49,7 +66,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, nk_real: int):
         logits = jnp.where(col < nk_real, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = _pnorm(e)
     o_ref[0] = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32
                                    ).astype(o_ref.dtype)
@@ -139,7 +156,7 @@ def _wmsa_kernel_small_bias(q_ref, k_ref, v_ref, bm_ref, o_ref):
     logits = logits.reshape(TR // nwh, nwh, N, N) + bm_ref[:][None]
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(TR, N, N)
+    p = _pnorm(e).reshape(TR, N, N)
     o_ref[:] = jax.lax.dot_general(p.astype(q.dtype), v_ref[:],
                                    (((2,), (1,)), ((0,), (0,))),
                                    preferred_element_type=jnp.float32
@@ -154,7 +171,7 @@ def _wmsa_kernel_blocked_bias(q_ref, k_ref, v_ref, bm_ref, o_ref):
     logits = logits + bm_ref[:]
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = _pnorm(e)
     o_ref[:] = jax.lax.dot_general(p.astype(q.dtype), v_ref[:],
                                    (((2,), (1,)), ((0,), (0,))),
                                    preferred_element_type=jnp.float32
@@ -309,7 +326,7 @@ def _win_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         logits = logits.reshape(TW // nWb, nWb, N, N) + bm_ref[:, h][None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(TW, N, N)
+        p = _pnorm(e).reshape(TW, N, N)
         oh = jax.lax.dot_general(p.astype(x.dtype), v,
                                  (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
@@ -794,7 +811,7 @@ def _bidir_fuse_kernel(vh_ref, ah_ref, gv_ref, ga_ref, vo_ref, ao_ref,
     # row direction (exact within the tile)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    pa = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+    pa = _pnorm(e).astype(dt)
     a2v = jax.lax.dot_general(pa, ah, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     vo_ref[0] = vh + (gv * a2v).astype(dt)
@@ -826,9 +843,15 @@ def _bidir_fuse_kernel(vh_ref, ah_ref, gv_ref, ga_ref, vo_ref, ao_ref,
 
 def _bidir_fuse_full_kernel(vh_ref, ah_ref, gv_ref, ga_ref, vo_ref, ao_ref):
     """Single-tile variant: full (Nv, Na) fp32 logits resident in VMEM (39 MB
-    at Swin stage 0), one explicit transpose for the column direction.
-    Measured FASTER than the tiled online-accumulation form when it fits
-    (5.1 vs 5.8 ms/block at stage 0 — row padding + rescale overhead)."""
+    at Swin stage 0). The joint fusion is exp-throughput-bound on the VPU
+    (~1.6G fp32 exps/block at stage 0 in the two-pass form), so the gram's
+    exp is computed ONCE against the row max and the column direction is
+    derived from it via the per-row correction w_i = exp(m_i - M) (M = global
+    max): exp(l_ij - M) = e_ij * w_i is a valid unnormalized numerator for
+    BOTH softmax directions. Divides are approx-reciprocal multiplies
+    (~1e-4 rel — inside the 1e-3 parity budget; STGCMA_EXACT_SOFTMAX=1
+    restores two-pass exact math). Degradation only when a gram column sits
+    >~87 below the global max (fp32 underflow zeroes that column's v2a)."""
     vh = vh_ref[0]
     ah = ah_ref[0]
     gv = gv_ref[0]
@@ -838,16 +861,29 @@ def _bidir_fuse_full_kernel(vh_ref, ah_ref, gv_ref, ga_ref, vo_ref, ao_ref):
                                  preferred_element_type=jnp.float32)  # (Nv,Na)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    pa = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+    if _exact_softmax():
+        pa = _pnorm(e).astype(dt)
+    else:
+        pa = (e * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True),
+                                approx=True)).astype(dt)
     a2v = jax.lax.dot_general(pa, ah, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    lt = logits.T                           # row-direction (lane) reductions
-    mc = jnp.max(lt, axis=-1, keepdims=True)
-    ec = jnp.exp(lt - mc)
-    pv = (ec / jnp.sum(ec, axis=-1, keepdims=True)).astype(dt)
-    v2a = jax.lax.dot_general(pv, vh, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
     vo_ref[0] = vh + (gv * a2v).astype(dt)
+    if _exact_softmax():
+        lt = logits.T                       # row-direction (lane) reductions
+        mc = jnp.max(lt, axis=-1, keepdims=True)
+        ec = jnp.exp(lt - mc)
+        pv = _pnorm(ec).astype(dt)
+        v2a = jax.lax.dot_general(pv, vh, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    else:
+        # column softmax from the SAME exp pass — no 2nd (Nv,Na) exp, no
+        # explicit 39 MB transpose (the matmul contracts over rows instead)
+        ew = e * jnp.exp(m - jnp.max(m))                   # == exp(l - M)
+        s_col = jnp.maximum(jnp.sum(ew, axis=0, keepdims=True), 1e-30)
+        pv = (ew * pl.reciprocal(s_col, approx=True)).astype(dt)
+        v2a = jax.lax.dot_general(pv, vh, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
     ao_ref[0] = ah + (ga * v2a).astype(dt)
 
 
@@ -939,13 +975,13 @@ def _win_fuse_kernel(vh_ref, ah_ref, gv_ref, ga_ref, fm_ref, vo_ref, ao_ref):
     logits = logits + fm_ref[:][None]
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    pa = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+    pa = _pnorm(e).astype(dt)
     a2v = jax.lax.dot_general(pa, ah, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
     lt = logits.transpose(0, 2, 1)          # pad mask is symmetric
     mc = jnp.max(lt, axis=-1, keepdims=True)
     ec = jnp.exp(lt - mc)
-    pv = (ec / jnp.sum(ec, axis=-1, keepdims=True)).astype(dt)
+    pv = _pnorm(ec).astype(dt)
     v2a = jax.lax.dot_general(pv, vh, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
     vo_ref[:] = vh + (gv * a2v).astype(dt)
@@ -1085,7 +1121,7 @@ def _win_block_q_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         logits = logits.reshape(TW // nWb, nWb, N, N) + bm_ref[:, h][None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(TW, N, N)
+        p = _pnorm(e).reshape(TW, N, N)
         oh = jax.lax.dot_general(p.astype(jnp.bfloat16), v,
                                  (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
@@ -1253,7 +1289,7 @@ def _tblock_v2_kernel(x_ref, lns, lnb, wqkv, sqkv, bqkv, wproj, sproj, bproj,
         logits = logits + bm_ref[0, h][None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        p = _pnorm(e).astype(x.dtype)
         outs.append(jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                                         preferred_element_type=jnp.float32
                                         ).astype(x.dtype))

@@ -78,13 +78,24 @@ def _self_attn(x, wqkv, bqkv, wproj, bproj, heads: int, n_real: int,
             logits = jnp.where(col < n_real, logits, -1e30)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = _pnorm(e)
         oh = jax.lax.dot_general(p.astype(x.dtype), v, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         outs.append(oh.astype(x.dtype).reshape(TB * N, dh))
     o = jnp.concatenate(outs, axis=-1)
     o = _linq(o, wproj, sproj, bproj)
     return o.astype(x.dtype).reshape(TB, N, C)
+
+
+def _pnorm(e):
+    """exp-numerator -> probabilities over the last axis (fp32). Approx-
+    reciprocal multiply by default (~1e-4 rel, VPU full-rate);
+    STGCMA_EXACT_SOFTMAX=1 restores the exact divide (see pallas_attn)."""
+    from .pallas_attn import _exact_softmax
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    if _exact_softmax():
+        return e / s
+    return e * pl.reciprocal(s, approx=True)
 
 
 def _erf(x):
@@ -128,7 +139,7 @@ def _xfuse(vh, ah, gate_v, gate_a, nv_real: int, na_real: int):
     la = jnp.where(ca < na_real, logits, -1e30)       # mask padded a keys
     ma = jnp.max(la, axis=-1, keepdims=True)
     ea = jnp.exp(la - ma)
-    pa = (ea / jnp.sum(ea, axis=-1, keepdims=True)).astype(vh.dtype)
+    pa = _pnorm(ea).astype(vh.dtype)
     a2v = jax.lax.dot_general(pa, ah, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)     # fp32
 
@@ -136,7 +147,7 @@ def _xfuse(vh, ah, gate_v, gate_a, nv_real: int, na_real: int):
     lv = lv.transpose(0, 2, 1)                        # (TB, Na, Nv)
     mv = jnp.max(lv, axis=-1, keepdims=True)
     ev = jnp.exp(lv - mv)
-    pv = (ev / jnp.sum(ev, axis=-1, keepdims=True)).astype(vh.dtype)
+    pv = _pnorm(ev).astype(vh.dtype)
     v2a = jax.lax.dot_general(pv, vh, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)     # fp32
     return (vh + (gate_v * a2v).astype(vh.dtype),
@@ -347,7 +358,7 @@ def _tadapt_kernel(x_ref, ln1s, ln1b, wqkv, sqkv, bqkv, wproj, sproj, bproj,
         logits = logits + bm_ref[0, h][None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = _pnorm(e)
         oh = jax.lax.dot_general(p.astype(x.dtype), v, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         outs.append(oh.astype(x.dtype).reshape(TR * N, dh))

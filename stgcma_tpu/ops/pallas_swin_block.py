@@ -52,6 +52,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _p_norm(e, dt):
+    """exp-numerator -> probabilities over the last axis. Default: approx-
+    reciprocal multiply (~1e-4 rel, VPU full-rate) instead of a per-element
+    divide; STGCMA_EXACT_SOFTMAX=1 restores the exact divide."""
+    from .pallas_attn import _exact_softmax
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    if _exact_softmax():
+        return (e / s).astype(dt)
+    return (e * pl.reciprocal(s, approx=True)).astype(dt)
+
+
 def _gelu(x):
     """Exact (erf) GELU — Swin adapters/Mlp use torch nn.GELU (Swin_AVE.py:34)."""
     xf = x.astype(jnp.float32)
@@ -284,8 +295,7 @@ def _swin_block_kernel(v_ref, a_ref,
         logits = logits.reshape(B2, nW, WS, WS) + bias_h[None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        pr = (e / jnp.sum(e, axis=-1, keepdims=True)
-              ).astype(dt).reshape(BW, WS, WS)
+        pr = _p_norm(e, dt).reshape(BW, WS, WS)
         oh = jax.lax.dot_general(pr, vv, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         return oh.astype(dt).reshape(rows, dh)
@@ -338,21 +348,34 @@ def _swin_block_kernel(v_ref, a_ref,
 
     def _fuse(vh, ah, mask):
         # bidirectional gated cross attention; mask is symmetric so the
-        # transposed logits reuse the masked matrix (Swin_AVE.py:747-763)
+        # transposed logits reuse the masked matrix (Swin_AVE.py:747-763).
+        # The gram's exp is computed ONCE (row-max basis); the column
+        # direction derives from it via the per-row correction
+        # w = exp(ma - M): ea*w == exp(logits - M) is a valid unnormalized
+        # numerator for both softmax directions (see
+        # pallas_attn._bidir_fuse_full_kernel).
+        from .pallas_attn import _exact_softmax
         logits = jax.lax.dot_general(vh, ah, (((2,), (2,)), ((0,), (0,))),
                                      preferred_element_type=jnp.float32)
         logits = logits + mask[None]
         ma = jnp.max(logits, axis=-1, keepdims=True)
         ea = jnp.exp(logits - ma)
-        pa = (ea / jnp.sum(ea, axis=-1, keepdims=True)).astype(dt)
+        pa = _p_norm(ea, dt)
         a2v = jax.lax.dot_general(pa, ah, (((2,), (1,)), ((0,), (0,))),
                                   preferred_element_type=jnp.float32)
-        lt = logits.transpose(0, 2, 1)
-        mv = jnp.max(lt, axis=-1, keepdims=True)
-        ev = jnp.exp(lt - mv)
-        pv = (ev / jnp.sum(ev, axis=-1, keepdims=True)).astype(dt)
-        v2a = jax.lax.dot_general(pv, vh, (((2,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=jnp.float32)
+        if _exact_softmax():
+            lt = logits.transpose(0, 2, 1)
+            mv = jnp.max(lt, axis=-1, keepdims=True)
+            ev = jnp.exp(lt - mv)
+            pv = (ev / jnp.sum(ev, axis=-1, keepdims=True)).astype(dt)
+            v2a = jax.lax.dot_general(pv, vh, (((2,), (1,)), ((0,), (0,))),
+                                      preferred_element_type=jnp.float32)
+        else:
+            ew = ea * jnp.exp(ma - jnp.max(ma, axis=1, keepdims=True))
+            s_col = jnp.maximum(jnp.sum(ew, axis=1, keepdims=True), 1e-30)
+            pv = (ew * pl.reciprocal(s_col, approx=True)).astype(dt)
+            v2a = jax.lax.dot_general(pv, vh, (((1,), (1,)), ((0,), (0,))),
+                                      preferred_element_type=jnp.float32)
         return (vh + (gv * a2v).astype(dt), ah + (ga * v2a).astype(dt))
 
     # ---- spatial S-adapter + per-window fusion ---------------------------

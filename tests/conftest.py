@@ -11,6 +11,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Kernel-vs-XLA equivalence tests verify the EXACT math; the default
+# approx-reciprocal/single-exp softmax (~1e-4 rel) is bounded separately in
+# tests/test_softmax_approx.py, which flips this env per-test.
+os.environ.setdefault("STGCMA_EXACT_SOFTMAX", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
