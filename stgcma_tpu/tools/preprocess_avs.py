@@ -30,7 +30,12 @@ def extract_frames(video_path: str, out_dir: str, name: str,
         return False
     try:
         meta = iio.immeta(video_path)
-        fps = float(meta.get("fps", 16.0))
+        if "fps" in meta:
+            fps = float(meta["fps"])
+        elif meta.get("duration"):  # ms per frame (GIF-style containers)
+            fps = 1000.0 / float(meta["duration"])
+        else:
+            fps = 16.0
         frames = iio.imread(video_path)  # (T, H, W, C)
     except Exception as e:  # pragma: no cover
         print(f"decode failed for {video_path}: {e}")
@@ -88,7 +93,7 @@ def main(argv=None):
     p.add_argument("--num_seconds", type=int, default=5)
     args = p.parse_args(argv)
     vids = [f for f in os.listdir(args.videos_dir)
-            if f.endswith((".mp4", ".avi", ".mkv", ".webm"))]
+            if f.endswith((".mp4", ".avi", ".mkv", ".webm", ".gif"))]
     for f in vids:
         name = os.path.splitext(f)[0]
         extract_frames(os.path.join(args.videos_dir, f),

@@ -1,0 +1,60 @@
+"""Exercise the AVS offline frame-extraction path against a real multi-frame
+video file (animated GIF — decodable by imageio's built-in Pillow plugin, no
+ffmpeg needed), closing the "preprocess_avs never run vs real video" gap.
+
+Reference sampling grid: preprocess_s4.py:24-102 (1 frame/s at the half-second
+mark, resized to 224^2, saved {name}_{i+1}.png).
+"""
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("imageio")
+pytest.importorskip("PIL")
+
+
+def _write_gif(path, n_frames=20, fps=4, size=32):
+    from PIL import Image
+    frames = []
+    for i in range(n_frames):
+        # each frame is a flat color keyed to its index so the sampled
+        # frame's identity is recoverable after resize
+        arr = np.full((size, size, 3), (i * 12) % 255, np.uint8)
+        frames.append(Image.fromarray(arr))
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / fps), loop=0)
+
+
+def test_extract_frames_gif(tmp_path):
+    from stgcma_tpu.tools.preprocess_avs import extract_frames
+
+    vid = str(tmp_path / "clip.gif")
+    _write_gif(vid, n_frames=20, fps=4)
+    out = str(tmp_path / "frames")
+    ok = extract_frames(vid, out, "clip", num_seconds=5, size=64)
+    assert ok
+    pngs = sorted(os.listdir(out))
+    assert pngs == [f"clip_{i}.png" for i in range(1, 6)]
+
+    from PIL import Image
+    for s, name in enumerate(pngs):
+        img = np.asarray(Image.open(os.path.join(out, name)))
+        assert img.shape == (64, 64, 3)
+        # sampling grid: idx = round((s + 0.5) * fps) clamped to T-1
+        idx = min(int(round((s + 0.5) * 4)), 19)
+        expect = (idx * 12) % 255
+        # GIF palette quantization: allow small deviation
+        assert abs(int(img.mean()) - expect) <= 4, (s, img.mean(), expect)
+
+
+def test_extract_frames_short_video_clamps(tmp_path):
+    """A video shorter than num_seconds must clamp to the last frame, not
+    crash (preprocess_s4.py repeats the tail implicitly via min())."""
+    from stgcma_tpu.tools.preprocess_avs import extract_frames
+
+    vid = str(tmp_path / "short.gif")
+    _write_gif(vid, n_frames=3, fps=4)
+    out = str(tmp_path / "frames")
+    assert extract_frames(vid, out, "short", num_seconds=5, size=32)
+    assert len(os.listdir(out)) == 5
