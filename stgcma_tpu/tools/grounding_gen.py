@@ -82,6 +82,16 @@ def grounding_loss(p, audio, frames_pos, frames_neg):
     return cross_entropy_int(out, labels)
 
 
+def _jet_rgb(x: np.ndarray) -> np.ndarray:
+    """Classic jet colormap (cv2.COLORMAP_JET equivalent, RGB float 0-1).
+    x: float array in [0, 1]."""
+    v = np.clip(x, 0.0, 1.0) * 4.0
+    r = np.clip(np.minimum(v - 1.5, -v + 4.5), 0.0, 1.0)
+    g = np.clip(np.minimum(v - 0.5, -v + 3.5), 0.0, 1.0)
+    b = np.clip(np.minimum(v + 0.5, -v + 2.5), 0.0, 1.0)
+    return np.stack([r, g, b], axis=-1)
+
+
 HEAD_KEYS = ("fc_a1", "fc_a2", "fc_gl", "fc1", "fc2", "fc3", "fc4")
 
 # r(2+1)d-18 video-model normalization stats (dataloader_grd_gen.py:21-22)
@@ -257,6 +267,9 @@ def main(argv=None):
     p.add_argument("--synthetic", type=s2b, default=False,
                    help="train on deterministic random tensors (no data dirs)")
     p.add_argument("--synthetic_n", type=int, default=8)
+    p.add_argument("--dump_heatmaps", type=str, default="",
+                   help="in test mode, dump JET-overlay grounding heatmaps "
+                        "here (main_grd_gen_vis.py equivalent)")
     p.add_argument("--resnet_pretrained", type=str, default="",
                    help="torchvision resnet18 .pth for the frozen visual net")
     args = p.parse_args(argv)
@@ -353,6 +366,47 @@ def main(argv=None):
             print(f"{k} Accuracy: {v:.2f} %")
         return res.get("Overall", 0.0)
 
+    @jax.jit
+    def attention_maps(head, batch):
+        full = {**head, "visual_net": frozen_visual}
+        _, att = apply_grounding(full, batch["audio"][:, None],
+                                 batch["frame_pos"][:, None],
+                                 return_attention=True)
+        return att                                          # (B, 196)
+
+    def dump_heatmaps(head, ds, out_dir):
+        """main_grd_gen_vis.py:82-104 equivalent: bilinear-resize the 14x14
+        grounding attention to 224^2, JET-colormap it, overlay
+        0.4*heat + 0.6*frame, save one PNG per positive frame (PIL instead
+        of cv2 — not in this image)."""
+        from PIL import Image
+        os.makedirs(out_dir, exist_ok=True)
+        rng = np.random.RandomState(0)
+        n_out = 0
+        for batch in _batches(ds, args.batch_size, False, rng):
+            att = np.asarray(attention_maps(head, arrays(batch)), np.float32)
+            frames = np.asarray(batch["frame_pos"], np.float32)  # normalized
+            for i in range(att.shape[0]):
+                amap = att[i].reshape(14, 14)
+                amap = amap / max(float(amap.max()), 1e-12)
+                img = Image.fromarray((amap * 255).astype(np.uint8))
+                amap = np.asarray(img.resize((224, 224), Image.BILINEAR),
+                                  np.float32) / 255.0
+                heat = _jet_rgb(amap)                        # (224,224,3) 0-1
+                fr = frames[i] * R2P1D_STD + R2P1D_MEAN      # denormalize
+                fr = np.clip(fr, 0.0, 1.0)
+                if fr.shape[:2] != (224, 224):
+                    fr = np.asarray(Image.fromarray(
+                        (fr * 255).astype(np.uint8)).resize(
+                            (224, 224), Image.BILINEAR), np.float32) / 255.0
+                over = np.clip(heat * 0.4 + fr * 0.6, 0.0, 1.0)
+                name = batch.get("name", [f"sample_{n_out}"] * att.shape[0])
+                fname = f"{name[i] if i < len(name) else n_out}_{i}.png"
+                Image.fromarray((over * 255).astype(np.uint8)).save(
+                    os.path.join(out_dir, fname))
+                n_out += 1
+        print(f"wrote {n_out} heatmap overlays to {out_dir}")
+
     os.makedirs(args.model_save_dir, exist_ok=True)
 
     def ckpt_path(tag):
@@ -387,6 +441,8 @@ def main(argv=None):
             evaluate(head, va_ds)
         else:
             test_types(head, te_ds)
+            if args.dump_heatmaps:
+                dump_heatmaps(head, te_ds, args.dump_heatmaps)
 
 
 if __name__ == "__main__":

@@ -87,3 +87,37 @@ def test_grounding_dataset_schema(tmp_path):
     assert it["frame_pos"].shape == (224, 224, 3)  # PIL bilinear 224 resize
     ref = np.load(audio_dir / "vidA.npy")[3]
     np.testing.assert_array_equal(it["audio"], ref)
+
+
+def test_heatmap_dump_vis_variant(tmp_path):
+    """main_grd_gen_vis.py equivalent: test mode with --dump_heatmaps writes
+    224^2 JET-overlay PNGs (one per positive test frame)."""
+    import numpy as np
+    from PIL import Image
+
+    from stgcma_tpu.tools import grounding_gen as G
+
+    d = str(tmp_path / "m")
+    G.main(["--synthetic", "True", "--epochs", "1", "--batch-size", "2",
+            "--synthetic_n", "4", "--model_save_dir", d])
+    vis = str(tmp_path / "vis")
+    G.main(["--synthetic", "True", "--synthetic_n", "4", "--mode", "test",
+            "--batch-size", "2", "--model_save_dir", d,
+            "--dump_heatmaps", vis])
+    import os
+    pngs = sorted(os.listdir(vis))
+    assert len(pngs) == 2
+    img = np.asarray(Image.open(os.path.join(vis, pngs[0])))
+    assert img.shape == (224, 224, 3)
+    assert img.std() > 0  # a real overlay, not a constant fill
+
+
+def test_jet_colormap_endpoints():
+    from stgcma_tpu.tools.grounding_gen import _jet_rgb
+    import numpy as np
+    lo = _jet_rgb(np.zeros((1,)))[0]
+    hi = _jet_rgb(np.ones((1,)))[0]
+    mid = _jet_rgb(np.full((1,), 0.5))[0]
+    assert lo[2] > 0.4 and lo[0] == 0.0    # dark blue end
+    assert hi[0] > 0.4 and hi[2] == 0.0    # red end
+    assert mid[1] == 1.0                   # green center
