@@ -230,9 +230,13 @@ def _bench_serving_device(B: int = 2):
 
         def body(carry, _):
             eps = (carry * 1e-8).astype(f32)
+            # every independent input stream must be carry-perturbed,
+            # including the int question ids (never-true branch), or XLA
+            # hoists that subgraph out of the scan (see ADVICE r2)
+            qip = jnp.where(carry > 1e30, qi + 1, qi)
             out1 = ave.apply_swin_ave(p1, cfg_ave, a1 + eps, v1 + eps)
             qa, m_posi, _ = avqa.apply_avqa(p2, cfg_avqa, h_avqa, a2 + eps,
-                                            v2 + eps, vn + eps, qi)
+                                            v2 + eps, vn + eps, qip)
             pred, _, _ = avs.apply_avs(p3, cfg_avs, h_avs, a3 + eps, v3 + eps)
             acc = (out1.astype(jnp.float32).mean() +
                    qa.astype(jnp.float32).mean() +
@@ -334,7 +338,17 @@ def main():
     dev = jax.devices()[0]
 
     t_start = time.perf_counter()
-    clips_per_sec = _bench_infer(model, B)
+    # Primary = the production serving configuration: int8 frozen towers
+    # inside the Pallas megakernels (measured fidelity: top-1 agreement 1.0,
+    # max rel logit dev ~2% vs bf16 — reported in the extras every run).
+    # bf16 is reported alongside as an extra. BENCH_PRIMARY=bf16 restores the
+    # bf16 primary.
+    primary_int8 = os.environ.get("BENCH_PRIMARY", "int8") == "int8"
+    bf16_clips_per_sec = _bench_infer(model, B)
+    if primary_int8:
+        clips_per_sec = _bench_infer(model, B, int8=True)
+    else:
+        clips_per_sec = bf16_clips_per_sec
 
     # extras run inside a wall-clock budget so a cold compile through the
     # relay can never sink the whole bench (the primary metric is out by now)
@@ -360,12 +374,18 @@ def main():
 
     extras = []
     if os.environ.get("BENCH_EXTRAS", "1") == "1":
-        if os.environ.get("BENCH_INT8", "1") == "1":
+        if primary_int8:
+            extras.append({
+                "metric": f"AVE {name} fusion inference, bf16 (batch={B})",
+                "value": round(bf16_clips_per_sec, 2),
+                "unit": "clips/sec/chip"})
+        elif os.environ.get("BENCH_INT8", "1") == "1":
             run_extra("int8", lambda: _bench_infer(model, B, int8=True),
                       lambda cps8: {
                           "metric": f"AVE {name} fusion inference, int8 frozen "
                                     f"towers (serving mode, batch={B})",
                           "value": round(cps8, 2), "unit": "clips/sec/chip"})
+        if os.environ.get("BENCH_INT8", "1") == "1":
             run_extra("int8-fidelity", lambda: _int8_fidelity(model, B),
                       lambda ra: {
                           "metric": f"int8 serving fidelity vs bf16 ({name}, "
@@ -395,9 +415,12 @@ def main():
                           "value": round(r[0], 2), "unit": "clips/sec/chip",
                           "clips_per_iter": r[1]})
 
+    prec = ("int8 serving mode, fused W8A8 megakernels" if primary_int8
+            else "bf16")
     print(json.dumps({
         "metric": f"AVE {name} fusion inference throughput "
-                  f"(bf16, batch={B}, on-device steady state, {dev.device_kind})",
+                  f"({prec}, batch={B}, on-device steady state, "
+                  f"{dev.device_kind})",
         "value": round(clips_per_sec, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec / 500.0, 3),

@@ -41,7 +41,8 @@ def parse_args(argv=None):
     p.add_argument("--min_lr", type=float, default=1e-7)
     p.add_argument("--warmup_epochs", type=int, default=2)
     p.add_argument("--n-epochs", "--n_epochs", dest="n_epochs", type=int, default=10)
-    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--batch_size", "--batch-size", dest="batch_size",
+                   type=int, default=2)
     p.add_argument("--adapter_ratios", type=float, nargs="*", default=None)
     p.add_argument("--freeze_base", type=str2bool, default=True)
     p.add_argument("--loss", default="CE", choices=["CE", "BCE"])
@@ -50,7 +51,21 @@ def parse_args(argv=None):
     p.add_argument("--wa_end", type=int, default=5)
     p.add_argument("--exp-dir", "--exp_dir", dest="exp_dir", default="./exp/ave29")
     p.add_argument("--pretrain_path", default="")
-    p.add_argument("--num_workers", type=int, default=8)
+    # parsed by the reference driver but never consumed
+    # (AVE/run_adapt_ave29.py:73 has no args.finetune_path reader) —
+    # accepted and warned about below, like freqm/timem
+    p.add_argument("--finetune_path", default="")
+    p.add_argument("--num_workers", "--num-workers", dest="num_workers",
+                   type=int, default=8)
+    # fbank target frames (reference audio_conf['target_length'],
+    # AVE/run_adapt_ave29.py:93); default None = derive from the model preset
+    p.add_argument("--target_length", type=int, default=None)
+    # 'use warmup lr scheduler' bool (reference --warmup); False forces
+    # warmup_epochs to 0
+    p.add_argument("--warmup", type=str2bool, default=True)
+    # gate per-epoch checkpoint export (reference --save_model,
+    # traintest_adapt_ave29.py:228); best checkpoint is always kept
+    p.add_argument("--save_model", type=str2bool, default=True)
     p.add_argument("--dataset_mean", type=float, default=-5.081)
     p.add_argument("--dataset_std", type=float, default=4.485)
     # waveform mixup probability (reference default 0 — AVE/run_adapt_ave29.py)
@@ -84,10 +99,15 @@ def parse_args(argv=None):
     p.add_argument("--skip_frame_agg", type=str2bool, default=True)
     p.add_argument("--total_frames", type=int, default=1)
     p.add_argument("--metrics", default="acc", choices=["acc", "mAP"])
-    # data roots (replacing hard-coded ./STG-CMA/... paths)
-    p.add_argument("--train_order_h5", default="")
-    p.add_argument("--test_order_h5", default="")
-    p.add_argument("--labels_h5", default="")
+    # data roots (replacing hard-coded ./STG-CMA/... paths). The reference
+    # launch scripts pass the SAME files under audioset-era flag names:
+    # --data-train/--data-val are the order h5 files and --label-csv is the
+    # one-hot labels h5 (AVE/dataloader.py:82,120) — accepted as aliases.
+    p.add_argument("--train_order_h5", "--data-train", dest="train_order_h5",
+                   default="")
+    p.add_argument("--test_order_h5", "--data-val", dest="test_order_h5",
+                   default="")
+    p.add_argument("--labels_h5", "--label-csv", dest="labels_h5", default="")
     p.add_argument("--annotations_txt", default="")
     p.add_argument("--frames_root", default="")
     p.add_argument("--audio_root", default="")
@@ -158,11 +178,15 @@ def main(argv=None):
                            args.audio_root, cfg.num_frames, mode="eval",
                            annotations_txt=args.annotations_txt)
 
-    for flag in ("freqm", "timem", "noise", "label_smooth"):
+    for flag in ("freqm", "timem", "noise", "label_smooth", "finetune_path"):
         if getattr(args, flag):
             print(f"warning: --{flag} is accepted for reference-surface "
                   "compatibility but has no effect (the reference parses it "
-                  "and the launch configs pass 0/False)")
+                  "and never consumes it in the launch configs)")
+    if args.target_length is not None and args.target_length != target_len:
+        print(f"warning: --target_length {args.target_length} conflicts with "
+              f"the tower's audio geometry ({target_len} frames for this "
+              "preset); keeping the preset")
 
     weights = None
     if args.bal == "bal":
@@ -202,8 +226,10 @@ def main(argv=None):
         loss_fn=loss_fn, eval_fn=make_eval_fn(infer, eval_pipe, args.n_class),
         params=params, base_lr=args.lr, head_lr_mult=args.head_lr,
         n_epochs=args.n_epochs, steps_per_epoch=max(len(tr), 1),
-        warmup_epochs=args.warmup_epochs, min_lr=args.min_lr,
+        warmup_epochs=args.warmup_epochs if args.warmup else 0,
+        min_lr=args.min_lr,
         exp_dir=args.exp_dir, freeze_base=args.freeze_base,
+        save_every_epoch=args.save_model,
         lr_mode=lr_mode, plateau_patience=args.lr_patience,
         multistep=(args.lrscheduler_start, args.lrscheduler_step,
                    args.lrscheduler_decay))

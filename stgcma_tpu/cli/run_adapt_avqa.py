@@ -28,23 +28,62 @@ from .common import archive_args, seed_everything, str2bool
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="MM-Swin-AVQA-Large")
+    p.add_argument("--ftmode", default="fusion",
+                   choices=["videoonly", "audioonly", "multimodal", "fusion"])
+    p.add_argument("--dataset", default="music-avqa")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--head_lr", type=float, default=0.1)
     p.add_argument("--min_lr", type=float, default=1e-7)
     p.add_argument("--warmup_epochs", type=int, default=1)
+    p.add_argument("--warmup", type=str2bool, default=True)
     p.add_argument("--n-epochs", "--n_epochs", dest="n_epochs", type=int, default=15)
-    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--batch_size", "--batch-size", dest="batch_size",
+                   type=int, default=2)
     p.add_argument("--num_frames", type=int, default=10)
     p.add_argument("--adapter_ratios", type=float, nargs="*", default=None)
     p.add_argument("--exp-dir", "--exp_dir", dest="exp_dir", default="./exp/avqa")
     p.add_argument("--pretrain_path", default="")
     p.add_argument("--grounding_pretrained", default="")
-    p.add_argument("--train_json", default="")
-    p.add_argument("--val_json", default="")
-    p.add_argument("--frames_root", default="")
-    p.add_argument("--audio_root", default="")
-    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--freeze_base", type=str2bool, default=True)
+    p.add_argument("--loss", default="CE", choices=["CE", "BCE"])
+    p.add_argument("--metrics", default="acc", choices=["acc", "mAP"])
+    # weight averaging over per-epoch ckpts (run_adapt_avqa.py:395-414)
+    p.add_argument("--wa", type=str2bool, default=False)
+    p.add_argument("--wa_start", type=int, default=1)
+    p.add_argument("--wa_end", type=int, default=5)
+    # scheduler selection (traintest_adapt_avqa.py — same precedence as AVE)
+    p.add_argument("--lr_adapt", type=str2bool, default=False)
+    p.add_argument("--lr_patience", type=int, default=2)
+    p.add_argument("--lr_cosine_adapt", type=str2bool, default=True)
+    p.add_argument("--lrscheduler_start", type=int, default=10)
+    p.add_argument("--lrscheduler_step", type=int, default=5)
+    p.add_argument("--lrscheduler_decay", type=float, default=0.5)
+    # balanced sampler (run_adapt_avqa.py:128-137)
+    p.add_argument("--bal", default="none")
+    p.add_argument("--weight_file", default=None)
+    p.add_argument("--weight_csv", default="")
+    p.add_argument("--save_model", type=str2bool, default=True)
+    # reference data flags: --data_train/--data_val are the question jsons,
+    # --dir_image/--dir_audio_wav the media roots (run_adapt_avqa.py:139-158)
+    p.add_argument("--train_json", "--data_train", dest="train_json", default="")
+    p.add_argument("--val_json", "--data_val", dest="val_json", default="")
+    p.add_argument("--frames_root", "--dir_image", dest="frames_root", default="")
+    p.add_argument("--audio_root", "--dir_audio_wav", dest="audio_root",
+                   default="")
+    p.add_argument("--num_workers", "--num-workers", dest="num_workers",
+                   type=int, default=8)
     p.add_argument("--dataset_mean", type=float, default=-5.269)
     p.add_argument("--dataset_std", type=float, default=4.578)
+    p.add_argument("--target_length", type=int, default=None)
+    # parsed-but-inert in the reference AVQA driver (the audio_conf blocks
+    # consuming them are commented out, run_adapt_avqa.py:111-128;
+    # finetune_path has no reader) — accepted and warned about
+    p.add_argument("--freqm", type=int, default=0)
+    p.add_argument("--timem", type=int, default=0)
+    p.add_argument("--noise", type=str2bool, default=False)
+    p.add_argument("--label_smooth", type=float, default=0.0)
+    p.add_argument("--mixup", type=float, default=0.0)
+    p.add_argument("--finetune_path", default="")
     p.add_argument("--eval_only", type=str2bool, default=False)
     p.add_argument("--ckpt", default="")
     p.add_argument("--synthetic", type=str2bool, default=False)
@@ -81,12 +120,23 @@ def main(argv=None):
     rng = seed_everything(0)
     archive_args(args, args.exp_dir)
 
+    for flag in ("freqm", "timem", "noise", "label_smooth", "mixup",
+                 "finetune_path"):
+        if getattr(args, flag):
+            print(f"warning: --{flag} is accepted for reference-surface "
+                  "compatibility but has no effect (the reference AVQA "
+                  "driver parses it and never consumes it — the audio_conf "
+                  "blocks are commented out)")
+    if args.metrics == "mAP":
+        print("warning: --metrics mAP has no AVQA semantics (single-label "
+              "answers); accuracy is reported")
+
     if args.tiny:
-        cfg = swin_tiny_test(ftmode="fusion", num_frames=args.num_frames)
+        cfg = swin_tiny_test(ftmode=args.ftmode, num_frames=args.num_frames)
         hcfg = AVQAHeadConfig(feat_dim=cfg.num_features, grid=7,
                               num_frames=args.num_frames)
     else:
-        cfg = swin_large(ftmode="fusion", num_frames=args.num_frames,
+        cfg = swin_large(ftmode=args.ftmode, num_frames=args.num_frames,
                          **({"adapter_ratios": tuple(args.adapter_ratios)}
                             if args.adapter_ratios else {}))
         hcfg = AVQAHeadConfig(feat_dim=cfg.num_features, grid=7,
@@ -136,6 +186,11 @@ def main(argv=None):
     fb = SWIN_FBANK if not args.tiny else dataclasses.replace(
         SWIN_FBANK, num_mel_bins=img)
     target_len = 224 if not args.tiny else img
+    if args.target_length is not None and args.target_length != target_len:
+        print(f"warning: --target_length {args.target_length} conflicts with "
+              f"the tower's audio geometry ({target_len} frames for this "
+              "preset); keeping the preset (the reference AVQA driver's "
+              "target_length is inert — commented-out audio_conf)")
 
     if args.synthetic:
         tr_ds = SyntheticAVQA(4, args.num_frames, img)
@@ -145,8 +200,20 @@ def main(argv=None):
                             args.audio_root, args.num_frames, "train")
         te_ds = AVQADataset(args.val_json, args.train_json, args.frames_root,
                             args.audio_root, args.num_frames, "eval")
+    weights = None
+    if args.bal == "bal":
+        print("balanced sampler is being used")
+        wpath = args.weight_csv or (
+            args.train_json[:-5] + "_weight.csv" if args.train_json else "")
+        if not wpath or not os.path.exists(wpath):
+            raise SystemExit("--bal bal needs --weight_csv or a "
+                             "<data_train>_weight.csv next to the train json "
+                             "(run_adapt_avqa.py:128-137)")
+        weights = np.loadtxt(wpath, delimiter=",")
+    else:
+        print("balanced sampler is not used")
     tr = DataLoader(tr_ds, args.batch_size, shuffle=True,
-                    num_workers=args.num_workers)
+                    num_workers=args.num_workers, sample_weights=weights)
     te = DataLoader(te_ds, args.batch_size, shuffle=False, drop_last=False,
                     num_workers=args.num_workers)
 
@@ -163,7 +230,8 @@ def main(argv=None):
                             "wave": batch["wave"]}, k2)
         out_qa, m_pos, m_neg = avqa.apply_avqa(p, cfg, hcfg, a, v, vn,
                                                batch["question"])
-        total, aux = losses.avqa_loss(out_qa, m_pos, m_neg, batch["answer"])
+        total, aux = losses.avqa_loss(out_qa, m_pos, m_neg, batch["answer"],
+                                      kind=args.loss)
         return total, aux
 
     @jax.jit
@@ -193,13 +261,37 @@ def main(argv=None):
             print(f"{k}: {v}")
         return rep
 
+    lr_mode = ("plateau" if args.lr_adapt
+               else "cosine" if args.lr_cosine_adapt else "multistep")
     trainer = Trainer(loss_fn=loss_fn, eval_fn=eval_fn, params=params,
-                      base_lr=args.lr, n_epochs=args.n_epochs,
+                      base_lr=args.lr, head_lr_mult=args.head_lr,
+                      n_epochs=args.n_epochs,
                       steps_per_epoch=max(len(tr), 1),
-                      warmup_epochs=args.warmup_epochs, min_lr=args.min_lr,
-                      exp_dir=args.exp_dir, metric_name="acc")
+                      warmup_epochs=args.warmup_epochs if args.warmup else 0,
+                      min_lr=args.min_lr,
+                      exp_dir=args.exp_dir, freeze_base=args.freeze_base,
+                      save_every_epoch=args.save_model, metric_name="acc",
+                      lr_mode=lr_mode, plateau_patience=args.lr_patience,
+                      multistep=(args.lrscheduler_start, args.lrscheduler_step,
+                                 args.lrscheduler_decay))
     trainer.fit(tr, te, rng)
     print("done. best epoch", trainer.best_epoch, "best acc", trainer.best_metric)
+
+    if args.wa:
+        # weight averaging over per-epoch checkpoints
+        # (AVQA/run_adapt_avqa.py:395-414)
+        from ..checkpoint.io import load_checkpoint
+        from ..train.loop import weight_average
+        like = trainer.params()
+        trees = [load_checkpoint(os.path.join(args.exp_dir, "models",
+                                              f"model.{e}"),
+                                 jax.tree_util.tree_map(lambda x: x, like))
+                 for e in range(args.wa_start,
+                                min(args.wa_end, args.n_epochs) + 1)]
+        avg = weight_average(trees)
+        rep = eval_fn(avg, te)
+        print("weight-averaged eval:", {k: rep[k] for k in ("acc",)
+                                        if k in rep})
     return trainer
 
 

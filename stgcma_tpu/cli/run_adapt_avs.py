@@ -28,11 +28,17 @@ def parse_args(argv=None):
     p.add_argument("--model", default="MM-Swin-AVS-Large",
                    choices=["MM-Swin-AVS-Base", "MM-Swin-AVS-Large"])
     p.add_argument("--session", default="S4", choices=["S4", "MS3"])
+    p.add_argument("--ftmode", default="fusion",
+                   choices=["videoonly", "audioonly", "multimodal", "fusion"])
+    p.add_argument("--dataset", default="avsbench")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--head_lr", type=float, default=0.1)
     p.add_argument("--min_lr", type=float, default=1e-7)
     p.add_argument("--warmup_epochs", type=int, default=1)
+    p.add_argument("--warmup", type=str2bool, default=True)
     p.add_argument("--n-epochs", "--n_epochs", dest="n_epochs", type=int, default=15)
-    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--batch_size", "--batch-size", dest="batch_size",
+                   type=int, default=2)
     p.add_argument("--num_frames", type=int, default=5)
     p.add_argument("--adapter_ratios", type=float, nargs="*", default=None)
     p.add_argument("--tpavi_stages", type=int, nargs="*", default=[0, 1, 2, 3])
@@ -40,11 +46,51 @@ def parse_args(argv=None):
     p.add_argument("--lambda_1", type=float, default=0.0)
     p.add_argument("--exp-dir", "--exp_dir", dest="exp_dir", default="./exp/avs")
     p.add_argument("--pretrain_path", default="")
+    p.add_argument("--freeze_base", type=str2bool, default=True)
+    # the reference train loop hardcodes IouSemanticAwareLoss whatever
+    # --loss says (AVS/traintest_adapt_avs.py:162); CE/BCE warn below
+    p.add_argument("--loss", default="IoU", choices=["IoU", "CE", "BCE"])
+    p.add_argument("--metrics", default="miou",
+                   choices=["miou", "acc", "mAP"])
+    # weight averaging over per-epoch ckpts (AVS/run_adapt_avs.py:243-252)
+    p.add_argument("--wa", type=str2bool, default=False)
+    p.add_argument("--wa_start", type=int, default=1)
+    p.add_argument("--wa_end", type=int, default=5)
+    # scheduler selection (AVS/traintest_adapt_avs.py:82-110)
+    p.add_argument("--lr_adapt", type=str2bool, default=False)
+    p.add_argument("--lr_patience", type=int, default=2)
+    p.add_argument("--lr_cosine_adapt", type=str2bool, default=True)
+    p.add_argument("--lrscheduler_start", type=int, default=10)
+    p.add_argument("--lrscheduler_step", type=int, default=5)
+    p.add_argument("--lrscheduler_decay", type=float, default=0.5)
+    # balanced sampler (AVS/run_adapt_avs.py:113-121)
+    p.add_argument("--bal", default="none")
+    p.add_argument("--weight_file", default=None)
+    p.add_argument("--weight_csv", default="")
+    p.add_argument("--save_model", type=str2bool, default=True)
     p.add_argument("--meta_csv", default="")
     p.add_argument("--data_root", default="")
-    p.add_argument("--num_workers", type=int, default=8)
+    # reference per-kind data roots (AVS/run_adapt_avs.py:89-92 + S4Dataset);
+    # override the data_root's fixed visual_frames/gt_masks/audio_wav layout.
+    # dir_audio_log_mel (precomputed VGGish pkls) is accepted for surface
+    # parity; the TPU pipeline computes log-mel from the wav on device.
+    p.add_argument("--dir_image", default="")
+    p.add_argument("--dir_mask", default="")
+    p.add_argument("--dir_audio_wav", default="")
+    p.add_argument("--dir_audio_log_mel", default="")
+    p.add_argument("--num_workers", "--num-workers", dest="num_workers",
+                   type=int, default=8)
     p.add_argument("--dataset_mean", type=float, default=-5.269)
     p.add_argument("--dataset_std", type=float, default=4.578)
+    p.add_argument("--target_length", type=int, default=None)
+    # parsed-but-inert in the reference AVS driver (S4Dataset's audio_conf
+    # carries only mode/dirs/mean/std; finetune_path has no reader)
+    p.add_argument("--freqm", type=int, default=0)
+    p.add_argument("--timem", type=int, default=0)
+    p.add_argument("--noise", type=str2bool, default=False)
+    p.add_argument("--label_smooth", type=float, default=0.0)
+    p.add_argument("--mixup", type=float, default=0.0)
+    p.add_argument("--finetune_path", default="")
     p.add_argument("--save_mask_dir", default="")
     p.add_argument("--synthetic", type=str2bool, default=False)
     p.add_argument("--tiny", type=str2bool, default=False)
@@ -82,14 +128,15 @@ def build(args):
                use_s_adapter=args.use_s_adapter,
                use_g_adapter=args.use_g_adapter)
     if args.tiny:
-        cfg = swin_tiny_test(ftmode="fusion", num_frames=args.num_frames, **abl)
+        cfg = swin_tiny_test(ftmode=args.ftmode, num_frames=args.num_frames,
+                             **abl)
         hcfg = AVSHeadConfig(stage_dims=(cfg.embed_dim, cfg.embed_dim * 2),
                              stage_resolutions=(14, 7), vis_dim=(64, 128),
                              tpavi_stages=(0, 1), audio_dim=cfg.num_features,
                              num_frames=args.num_frames)
     else:
         mk = swin_base if args.model.endswith("Base") else swin_large
-        cfg = mk(ftmode="fusion", num_frames=args.num_frames, **abl,
+        cfg = mk(ftmode=args.ftmode, num_frames=args.num_frames, **abl,
                  **({"adapter_ratios": tuple(args.adapter_ratios)}
                     if args.adapter_ratios else {}))
         hcfg = AVSHeadConfig(stage_dims=tuple(cfg.stage_dim(i) for i in range(4)),
@@ -117,19 +164,51 @@ def main(argv=None):
         params, unexpected = TC.load_pretrained_swin2d(params, sd, cfg)
         print(f"loaded {args.pretrain_path}; unexpected: {len(unexpected)}")
 
+    for flag in ("freqm", "timem", "noise", "label_smooth", "mixup",
+                 "finetune_path"):
+        if getattr(args, flag):
+            print(f"warning: --{flag} is accepted for reference-surface "
+                  "compatibility but has no effect (the reference AVS driver "
+                  "parses it and never consumes it)")
+    if args.loss != "IoU":
+        print(f"warning: --loss {args.loss} selected, but the reference AVS "
+              "train loop hardcodes IouSemanticAwareLoss "
+              "(traintest_adapt_avs.py:162) — training with IoU")
+    if args.dir_audio_log_mel:
+        print("note: --dir_audio_log_mel accepted; the TPU pipeline computes "
+              "log-mel from the wav on device, precomputed pkls are unused")
+
     img = cfg.img_size
     fb = SWIN_FBANK if not args.tiny else dataclasses.replace(
         SWIN_FBANK, num_mel_bins=img)
     target_len = 224 if not args.tiny else img
+    if args.target_length is not None and args.target_length != target_len:
+        print(f"warning: --target_length {args.target_length} conflicts with "
+              f"the tower's audio geometry ({target_len} frames for this "
+              "preset); keeping the preset")
 
     if args.synthetic:
         tr_ds = SyntheticAVS(4, args.num_frames, img, split="train")
         te_ds = SyntheticAVS(2, args.num_frames, img, seed=99, split="test")
     else:
-        tr_ds = AVSDataset(args.meta_csv, args.data_root, "train", args.num_frames)
-        te_ds = AVSDataset(args.meta_csv, args.data_root, "test", args.num_frames)
+        dirs = dict(dir_image=args.dir_image, dir_mask=args.dir_mask,
+                    dir_audio_wav=args.dir_audio_wav)
+        tr_ds = AVSDataset(args.meta_csv, args.data_root, "train",
+                           args.num_frames, **dirs)
+        te_ds = AVSDataset(args.meta_csv, args.data_root, "test",
+                           args.num_frames, **dirs)
+
+    weights = None
+    if args.bal == "bal":
+        print("balanced sampler is being used")
+        if not args.weight_csv:
+            raise SystemExit("--bal bal requires --weight_csv (per-sample "
+                             "weights, one float per line)")
+        weights = np.loadtxt(args.weight_csv, delimiter=",")
+    else:
+        print("balanced sampler is not used")
     tr = DataLoader(tr_ds, args.batch_size, shuffle=True,
-                    num_workers=args.num_workers)
+                    num_workers=args.num_workers, sample_weights=weights)
     te = DataLoader(te_ds, args.batch_size, shuffle=False, drop_last=False,
                     num_workers=args.num_workers)
 
@@ -190,13 +269,34 @@ def main(argv=None):
         print("eval:", metrics)
         return metrics
 
+    lr_mode = ("plateau" if args.lr_adapt
+               else "cosine" if args.lr_cosine_adapt else "multistep")
     trainer = Trainer(loss_fn=loss_fn, eval_fn=eval_fn, params=params,
-                      base_lr=args.lr, n_epochs=args.n_epochs,
+                      base_lr=args.lr, head_lr_mult=args.head_lr,
+                      n_epochs=args.n_epochs,
                       steps_per_epoch=max(len(tr), 1),
-                      warmup_epochs=args.warmup_epochs, min_lr=args.min_lr,
-                      exp_dir=args.exp_dir, metric_name="miou")
+                      warmup_epochs=args.warmup_epochs if args.warmup else 0,
+                      min_lr=args.min_lr,
+                      exp_dir=args.exp_dir, freeze_base=args.freeze_base,
+                      save_every_epoch=args.save_model, metric_name="miou",
+                      lr_mode=lr_mode, plateau_patience=args.lr_patience,
+                      multistep=(args.lrscheduler_start, args.lrscheduler_step,
+                                 args.lrscheduler_decay))
     trainer.fit(tr, te, rng)
     print("done. best epoch", trainer.best_epoch, "best miou", trainer.best_metric)
+
+    if args.wa:
+        # weight averaging over per-epoch ckpts (AVS/run_adapt_avs.py:243-252)
+        from ..checkpoint.io import load_checkpoint
+        from ..train.loop import weight_average
+        like = trainer.params()
+        trees = [load_checkpoint(os.path.join(args.exp_dir, "models",
+                                              f"model.{e}"),
+                                 jax.tree_util.tree_map(lambda x: x, like))
+                 for e in range(args.wa_start,
+                                min(args.wa_end, args.n_epochs) + 1)]
+        rep = eval_fn(weight_average(trees), te)
+        print("weight-averaged eval:", rep)
     return trainer
 
 

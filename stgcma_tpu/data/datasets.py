@@ -256,7 +256,8 @@ class AVSDataset:
     with k = 1 (train) or 5 (test) (AVS/dataloader.py:40-193)."""
 
     def __init__(self, meta_csv: str, data_root: str, split: str = "train",
-                 num_frames: int = 5):
+                 num_frames: int = 5, dir_image: str = "", dir_mask: str = "",
+                 dir_audio_wav: str = ""):
         import csv
         self.rows = []
         with open(meta_csv) as f:
@@ -264,6 +265,13 @@ class AVSDataset:
                 if row.get("split") == split:
                     self.rows.append(row)
         self.data_root = data_root
+        # per-kind root overrides (reference --dir_image/--dir_mask/
+        # --dir_audio_wav, AVS/run_adapt_avs.py:89-92); default to the
+        # data_root's s4_data layout
+        self.dir_image = dir_image or os.path.join(data_root, "visual_frames")
+        self.dir_mask = dir_mask or os.path.join(data_root, "gt_masks")
+        self.dir_audio_wav = (dir_audio_wav
+                              or os.path.join(data_root, "audio_wav"))
         self.split = split
         self.num_frames = num_frames
 

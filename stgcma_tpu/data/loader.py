@@ -77,6 +77,12 @@ class DataLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
+        if self.num_workers <= 0:
+            # torch-DataLoader num_workers=0 semantics: load inline
+            for b in batches:
+                yield collate([self.dataset[j] for j in b])
+            return
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         stop = threading.Event()

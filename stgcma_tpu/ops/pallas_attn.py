@@ -54,6 +54,14 @@ def _pnorm(e):
     return e * pl.reciprocal(s, approx=True)
 
 
+def _winblock_tile_bytes() -> int:
+    """x-tile byte budget for the windowed block megakernels
+    (STGCMA_WINBLOCK_TILE_MB, default 1)."""
+    import os
+    return int(float(os.environ.get("STGCMA_WINBLOCK_TILE_MB", "1"))
+               * (1 << 20))
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, nk_real: int):
     # q: (1, TQ, D), k: (1, NKP, D), v: (1, NKP, DV), o: (1, TQ, DV)
     q = q_ref[0]
@@ -373,8 +381,10 @@ def _win_block_op(x, ln_scale, ln_bias, wqkv, bqkv_wproj_bproj, bm, heads):
 def _win_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm, heads):
     B_, N, C = x.shape
     nW, h = bm.shape[0], bm.shape[1]
-    # tile budget ~1 MB of x per tile, aligned to the bias period
-    budget = max(1, (1 << 20) // (N * C * 2))
+    # tile budget (default ~1 MB of x per tile), aligned to the bias period;
+    # STGCMA_WINBLOCK_TILE_MB tunes it (bigger tiles = fewer grid steps +
+    # larger matmuls, bounded by the fp32 qkv/gram intermediates in VMEM)
+    budget = max(1, _winblock_tile_bytes() // (N * C * 2))
     TW = nW * max(1, budget // nW)
     RP = _round_up(B_, TW)
     if RP != B_:
@@ -1136,7 +1146,7 @@ def _win_block_q_pallas(x, ln_scale, ln_bias, qp, bm, heads):
     """qp: {'wqkv_q','wqkv_s','bqkv','wproj_q','wproj_s','bproj'}."""
     B_, N, C = x.shape
     nW = bm.shape[0]
-    budget = max(1, (1 << 20) // (N * C * 2))
+    budget = max(1, _winblock_tile_bytes() // (N * C * 2))
     TW = nW * max(1, budget // nW)
     RP = _round_up(B_, TW)
     if RP != B_:

@@ -50,10 +50,21 @@ def avqa_match_organize(out_posi, out_nega):
     return out, labels
 
 
-def avqa_loss(out_qa, out_match_posi, out_match_nega, answer_ids):
+def avqa_loss(out_qa, out_match_posi, out_match_nega, answer_ids,
+              kind: str = "CE"):
+    """kind mirrors the reference's args.loss selection applied to BOTH the
+    qa and match terms (AVQA/traintest_adapt_avqa.py:129-134,172-179); BCE
+    one-hots the integer targets first (the reference's BCEWithLogitsLoss
+    path — never exercised by the launch configs, which pass CE)."""
     out_match, match_labels = avqa_match_organize(out_match_posi, out_match_nega)
-    loss_qa = cross_entropy_int(out_qa, answer_ids)
-    loss_match = cross_entropy_int(out_match, match_labels)
+    if kind == "BCE":
+        loss_qa = bce_with_logits(
+            out_qa, jax.nn.one_hot(answer_ids, out_qa.shape[-1]))
+        loss_match = bce_with_logits(
+            out_match, jax.nn.one_hot(match_labels, out_match.shape[-1]))
+    else:
+        loss_qa = cross_entropy_int(out_qa, answer_ids)
+        loss_match = cross_entropy_int(out_match, match_labels)
     return loss_qa + 0.5 * loss_match, {"loss_qa": loss_qa, "loss_match": loss_match}
 
 
