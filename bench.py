@@ -264,13 +264,22 @@ def _bench_train(model: str, B: int):
 
     rng = np.random.RandomState(2)
     if model.startswith("swin"):
-        cfg = swin_base(ftmode="fusion", label_dim=29)
+        from stgcma_tpu.configs import swin_large
+        mk = swin_large if model == "swin-large" else swin_base
+        cfg = mk(ftmode="fusion", label_dim=29)
         params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
         apply_fn = ave.apply_swin_ave
         a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
         v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
     else:
-        cfg = clip_b16(ftmode="fusion", label_dim=29)
+        from stgcma_tpu.configs import clip_l14
+        mk = clip_l14 if model == "clip-l14" else clip_b16
+        cfg = mk(ftmode="fusion", label_dim=29)
+        if model == "clip-l14":
+            # the unrolled 24-block fwd+bwd HLO exceeds the compile relay's
+            # request-size limit (HTTP 413) — scan the resblocks instead
+            import dataclasses
+            cfg = dataclasses.replace(cfg, scan_blocks=8)
         params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
         apply_fn = ave.apply_clip_ave
         a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
@@ -316,8 +325,23 @@ def _bench_train(model: str, B: int):
             body, (train_params, opt_state), None, length=n)
         return losses.mean()
 
-    fn = lambda n: train_many(train_params, opt_state, (a, v), n)
-    per_iter = _timed_scan(fn, reps=3, n_small=1, n_large=5)
+    # L/14 kernel payloads push the fwd+bwd program past the compile relay's
+    # request limit even under the resblock scan (~10 MB of Mosaic MLIR vs a
+    # 3.4 MB kernel-free program — BENCH_NOTES); trace the train step on the
+    # XLA path for that model only. The kernels' custom VJPs recompute the
+    # naive path in bwd anyway, so this changes fwd fusion only.
+    saved = os.environ.get("STGCMA_FUSED_ATTN")
+    if model == "clip-l14":
+        os.environ["STGCMA_FUSED_ATTN"] = "0"
+    try:
+        fn = lambda n: train_many(train_params, opt_state, (a, v), n)
+        per_iter = _timed_scan(fn, reps=3, n_small=1, n_large=5)
+    finally:
+        if model == "clip-l14":
+            if saved is None:
+                os.environ.pop("STGCMA_FUSED_ATTN", None)
+            else:
+                os.environ["STGCMA_FUSED_ATTN"] = saved
     return 1.0 / per_iter
 
 

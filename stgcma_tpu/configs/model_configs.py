@@ -94,6 +94,13 @@ class ClipConfig:
     ftmode: str = "fusion"
     label_dim: int = 29
     ln_eps: float = 1e-5
+    # lax.scan over the (homogeneous) resblocks when layers >= scan_blocks
+    # (> 0 enables): O(1) compile/HLO size in depth, numerics == unrolled.
+    # Counterpart of SwinConfig.scan_blocks; needed for L/14 train programs
+    # that otherwise exceed the compile-relay request limit (BENCH_NOTES).
+    scan_blocks: int = 0
+    # per-block rematerialization under the scan (jax.checkpoint)
+    use_checkpoint: bool = False
 
     @property
     def num_patches(self) -> int:

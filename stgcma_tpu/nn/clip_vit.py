@@ -238,6 +238,28 @@ def _embed(params, x, conv_key: str, pos_key: str, cfg: ClipConfig):
     return layernorm(params["ln_pre"], y)
 
 
+def _run_resblocks(params, cfg: ClipConfig, x, mode: str):
+    """Unrolled loop, or lax.scan over stacked block params when
+    cfg.scan_blocks enables it (CLIP blocks are homogeneous — same mode and
+    shapes every depth — so the scan is numerically identical to the
+    unrolled loop up to XLA fusion reassociation; cf. SwinConfig.scan_blocks)."""
+    blocks = params["resblocks"]
+    if cfg.scan_blocks and len(blocks) >= cfg.scan_blocks:
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+        def body(carry, bp):
+            y = clip_block_apply(bp, carry, cfg, mode)
+            return y, None
+
+        if cfg.use_checkpoint:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x
+    for bp in blocks:
+        x = clip_block_apply(bp, x, cfg, mode)
+    return x
+
+
 def clip_backbone_apply(params, cfg: ClipConfig, a=None, v=None):
     """Returns dict of per-stream class-token features (BT, D) after ln_post
     (MM_CLIP_AVE.forward, CLIP_AVE.py:979-1140).
@@ -248,21 +270,18 @@ def clip_backbone_apply(params, cfg: ClipConfig, a=None, v=None):
     out: Dict[str, Any] = {}
     if cfg.ftmode == "videoonly":
         x = _embed(params, v, "conv1", "positional_embedding", cfg)
-        for bp in params["resblocks"]:
-            x = clip_block_apply(bp, x, cfg, mode)
+        x = _run_resblocks(params, cfg, x, mode)
         out["v"] = layernorm(params["ln_post"], x)[:, 0]
         return out
     if cfg.ftmode == "audioonly":
         x = _embed(params, a[..., None], "conv1_audio", "positional_embedding_audio", cfg)
-        for bp in params["resblocks"]:
-            x = clip_block_apply(bp, x, cfg, mode)
+        x = _run_resblocks(params, cfg, x, mode)
         out["a"] = layernorm(params["ln_post"], x)[:, 0]
         return out
     vt = _embed(params, v, "conv1", "positional_embedding", cfg)
     at = _embed(params, a[..., None], "conv1_audio", "positional_embedding_audio", cfg)
     x = (vt, at)
-    for bp in params["resblocks"]:
-        x = clip_block_apply(bp, x, cfg, mode)
+    x = _run_resblocks(params, cfg, x, mode)
     out["v"] = layernorm(params["ln_post"], x[0])[:, 0]
     out["a"] = layernorm(params["ln_post"], x[1])[:, 0]
     return out
