@@ -281,6 +281,11 @@ def _bench_train(model: str, B: int):
             import dataclasses
             cfg = dataclasses.replace(cfg, scan_blocks=8)
         params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
+        if model == "clip-l14":
+            # pre-stack block params so Adam/cast plumbing is one op per
+            # weight, not one per weight per block (~930 -> ~90 leaves)
+            from stgcma_tpu.nn.clip_vit import stack_resblocks
+            params = stack_resblocks(params)
         apply_fn = ave.apply_clip_ave
         a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
         v_shape = (B, cfg.num_frames, cfg.input_resolution,

@@ -61,6 +61,17 @@ def _mm_int8_static_kernel(xq_ref, wq_ref, o_ref):
     o_ref[:] = acc.astype(jnp.bfloat16)
 
 
+def _mm_int8_statq_kernel(x_ref, wq_ref, ws_ref, o_ref):
+    # static (calibrated) per-tensor activation scale: quant is just
+    # mul-by-const + round + clip — no per-row abs-max reduction pass
+    xf = x_ref[:].astype(jnp.float32)
+    inv_s = 127.0 / 6.0          # stand-in calibrated scale constant
+    xq = jnp.clip(jnp.round(xf * inv_s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, wq_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    o_ref[:] = (acc.astype(jnp.float32) * (1.0 / inv_s) * ws_ref[:]).astype(jnp.bfloat16)
+
+
 def _mm_int8_dynq_kernel(x_ref, wq_ref, ws_ref, o_ref):
     # fused per-row activation quant + int8 dot + dequant
     xf = x_ref[:].astype(jnp.float32)
@@ -96,6 +107,11 @@ def run(M, K, N, TM):
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
         grid=grid, in_specs=[xspec, wspec], out_specs=ospec,
         compiler_params=cp)(xq, wq)
+    f_i8sq = lambda x, wq, ws: pl.pallas_call(
+        _mm_int8_statq_kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        grid=grid, in_specs=[xspec, wspec, wspec], out_specs=ospec,
+        compiler_params=cp)(x, wq, ws)
     f_i8d = lambda x, wq, ws: pl.pallas_call(
         _mm_int8_dynq_kernel,
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
@@ -111,6 +127,11 @@ def run(M, K, N, TM):
         print(f"    -> {fl/t/1e12:.1f} TOPS")
     except Exception as e:
         print(f"  int8 static dot FAILED: {repr(e)[:300]}")
+    try:
+        t = bench(f_i8sq, (x, wq, ws), 4, 24, "  int8 static-quant dot")
+        print(f"    -> {fl/t/1e12:.1f} TOPS-equiv")
+    except Exception as e:
+        print(f"  int8 static-quant FAILED: {repr(e)[:300]}")
     try:
         t = bench(f_i8d, (x, wq, ws), 4, 24, "  int8 dyn-quant dot")
         print(f"    -> {fl/t/1e12:.1f} TOPS-equiv")

@@ -238,25 +238,50 @@ def _embed(params, x, conv_key: str, pos_key: str, cfg: ClipConfig):
     return layernorm(params["ln_pre"], y)
 
 
+def stack_resblocks(params):
+    """Convert params['resblocks'] from a per-block list into one stacked tree
+    (leading axis = depth). The blocks are homogeneous, so this is lossless;
+    _run_resblocks consumes the stacked form directly with lax.scan. Do this
+    OUTSIDE jit for big train programs: the optimizer/dtype-cast plumbing then
+    emits one op per weight instead of one per weight per block, shrinking the
+    L/14 fwd+bwd+Adam HLO below compile-relay request limits (BENCH_NOTES)."""
+    if "resblocks" not in params and "backbone" in params:
+        p = dict(params)
+        p["backbone"] = stack_resblocks(params["backbone"])
+        return p
+    blocks = params["resblocks"]
+    if not isinstance(blocks, (list, tuple)):
+        return params
+    p = dict(params)
+    p["resblocks"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *blocks)
+    return p
+
+
 def _run_resblocks(params, cfg: ClipConfig, x, mode: str):
     """Unrolled loop, or lax.scan over stacked block params when
     cfg.scan_blocks enables it (CLIP blocks are homogeneous — same mode and
     shapes every depth — so the scan is numerically identical to the
-    unrolled loop up to XLA fusion reassociation; cf. SwinConfig.scan_blocks)."""
+    unrolled loop up to XLA fusion reassociation; cf. SwinConfig.scan_blocks).
+    Accepts either a per-block list or the pre-stacked form of
+    stack_resblocks (always scanned)."""
     blocks = params["resblocks"]
-    if cfg.scan_blocks and len(blocks) >= cfg.scan_blocks:
+    if isinstance(blocks, (list, tuple)):
+        if not (cfg.scan_blocks and len(blocks) >= cfg.scan_blocks):
+            for bp in blocks:
+                x = clip_block_apply(bp, x, cfg, mode)
+            return x
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    else:
+        stacked = blocks
 
-        def body(carry, bp):
-            y = clip_block_apply(bp, carry, cfg, mode)
-            return y, None
+    def body(carry, bp):
+        y = clip_block_apply(bp, carry, cfg, mode)
+        return y, None
 
-        if cfg.use_checkpoint:
-            body = jax.checkpoint(body)
-        x, _ = jax.lax.scan(body, x, stacked)
-        return x
-    for bp in blocks:
-        x = clip_block_apply(bp, x, cfg, mode)
+    if cfg.use_checkpoint:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, stacked)
     return x
 
 

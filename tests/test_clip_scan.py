@@ -39,6 +39,32 @@ def test_scan_matches_unrolled_forward(ftmode):
                                rtol=2e-5, atol=2e-6)
 
 
+def test_prestacked_matches_unrolled():
+    """stack_resblocks (stacking OUTSIDE jit, one leaf per weight) must match
+    the unrolled loop; this is the form the L/14 train bench feeds to the
+    optimizer so Adam plumbing stays O(1) in depth."""
+    from stgcma_tpu.nn.clip_vit import stack_resblocks
+    cfg = _tiny("fusion")
+    params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(2, 2, cfg.audio_tdim, cfg.audio_fdim),
+                    jnp.float32)
+    v = jnp.asarray(rng.randn(2, 2, 32, 32, 3), jnp.float32)
+    ref = ave.apply_clip_ave(params, cfg, a, v)
+    stacked = stack_resblocks(params)
+    # one leaf per weight: resblocks subtree leaf count shrank by depth x
+    n_ref = len(jax.tree_util.tree_leaves(params["backbone"]["resblocks"]))
+    n_st = len(jax.tree_util.tree_leaves(stacked["backbone"]["resblocks"]))
+    assert n_ref == cfg.layers * n_st
+    out = ave.apply_clip_ave(stacked, dataclasses.replace(cfg, scan_blocks=2),
+                             a, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+    # idempotent on already-stacked trees
+    again = stack_resblocks(stacked)
+    assert again["backbone"]["resblocks"] is stacked["backbone"]["resblocks"]
+
+
 @pytest.mark.parametrize("ckpt", [False, True])
 def test_scan_matches_unrolled_grads(ckpt):
     cfg = _tiny("fusion")
