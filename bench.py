@@ -277,9 +277,12 @@ def _bench_train(model: str, B: int):
         cfg = mk(ftmode="fusion", label_dim=29)
         if model == "clip-l14":
             # the unrolled 24-block fwd+bwd HLO exceeds the compile relay's
-            # request-size limit (HTTP 413) — scan the resblocks instead
+            # request-size limit (HTTP 413) — scan the resblocks instead.
+            # use_checkpoint remats each scanned block: without it the scan
+            # saves every block's intermediates for bwd and the L/14 dual
+            # stream OOMs v5e HBM (19.9G needed vs 15.75G)
             import dataclasses
-            cfg = dataclasses.replace(cfg, scan_blocks=8)
+            cfg = dataclasses.replace(cfg, scan_blocks=8, use_checkpoint=True)
         params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
         if model == "clip-l14":
             # pre-stack block params so Adam/cast plumbing is one op per
@@ -303,24 +306,28 @@ def _bench_train(model: str, B: int):
         lambda x: None if x is None else x.astype(jnp.bfloat16), frozen_params,
         is_leaf=lambda x: x is None)
 
-    def loss_fn(tp, a, v):
+    def loss_fn(tp, frozen16, a, v):
         tp16 = jax.tree_util.tree_map(
             lambda x: None if x is None else x.astype(jnp.bfloat16), tp,
             is_leaf=lambda x: x is None)
-        p = merge_params(tp16, frozen_bf16)
+        p = merge_params(tp16, frozen16)
         logits = apply_fn(p, cfg, a.astype(jnp.bfloat16),
                           v.astype(jnp.bfloat16))
         return ave_loss(logits, labels)
 
     import optax
 
-    @functools.partial(jax.jit, static_argnums=(3,))
-    def train_many(train_params, opt_state, av, n):
+    # frozen params MUST be a jit argument, not a closure capture: captured
+    # arrays are baked into the lowered module as dense constants, and the
+    # L/14 tower's ~600 MB of bf16 weights then exceeds the compile relay's
+    # request-size limit (HTTP 413)
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def train_many(train_params, frozen16, opt_state, av, n):
         a, v = av
 
         def body(carry, _):
             tp, st = carry
-            loss, grads = jax.value_and_grad(loss_fn)(tp, a, v)
+            loss, grads = jax.value_and_grad(loss_fn)(tp, frozen16, a, v)
             grads = jax.tree_util.tree_map(
                 lambda g: None if g is None else g.astype(jnp.float32), grads,
                 is_leaf=lambda x: x is None)
@@ -339,7 +346,8 @@ def _bench_train(model: str, B: int):
     if model == "clip-l14":
         os.environ["STGCMA_FUSED_ATTN"] = "0"
     try:
-        fn = lambda n: train_many(train_params, opt_state, (a, v), n)
+        fn = lambda n: train_many(train_params, frozen_bf16, opt_state,
+                                  (a, v), n)
         per_iter = _timed_scan(fn, reps=3, n_small=1, n_large=5)
     finally:
         if model == "clip-l14":

@@ -391,7 +391,8 @@ def patch_embed_apply(p, x, cfg: SwinConfig):
     y = conv3d(p["proj"], x, stride=cfg.patch_size)  # (B, T', H', W', C)
     _, Tp, Hp, Wp, C = y.shape
     y = y.reshape(B * Tp, Hp * Wp, C)
-    y = layernorm(p["norm"], y)
+    from ..ops.pallas_attn import layernorm_fused
+    y = layernorm_fused(p["norm"], y)
     return y, B, Tp
 
 
@@ -402,7 +403,8 @@ def patch_merging_init(key, dim: int):
 
 def patch_merging_apply(p, x, H: int, Wd: int):
     x = W.patch_merge(x, H, Wd)
-    x = layernorm(p["norm"], x)
+    from ..ops.pallas_attn import layernorm_fused
+    x = layernorm_fused(p["norm"], x)
     return linear(p["reduction"], x)
 
 

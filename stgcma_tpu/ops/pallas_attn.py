@@ -655,6 +655,79 @@ def _ffn_bwd(act, res, g):
 _ffn_op.defvjp(_ffn_fwd, _ffn_bwd)
 
 
+def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
+    xf = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    o_ref[:] = (y * s_ref[:].astype(jnp.float32) +
+                b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _ln_pallas(x, scale, bias, eps: float):
+    M, C = x.shape
+    # row-tile budget ~1 MB of input; prefer a divisor of M so the whole-array
+    # HBM pad copy (which would eat most of the win) is skipped
+    budget = max(8, ((1 << 20) // (C * x.dtype.itemsize)) // 8 * 8)
+    TT = budget
+    while TT > 8 and M % TT:
+        TT //= 2
+    if M % TT:
+        TT = min(budget, _round_up(M, 8))
+        MP = _round_up(M, TT)
+        x = jnp.pad(x, ((0, MP - M), (0, 0)))
+    else:
+        MP = M
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((MP, C), x.dtype),
+        grid=(MP // TT,),
+        in_specs=[
+            pl.BlockSpec((TT, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, scale, bias)
+    return out[:M]
+
+
+@jax.custom_vjp
+def _ln_op(x, scale, bias):
+    return _ln_pallas(x, scale, bias, 1e-5)
+
+
+def _ln_fwd(x, scale, bias):
+    return _ln_pallas(x, scale, bias, 1e-5), (x, scale, bias)
+
+
+def _ln_bwd(res, g):
+    from .common import layernorm
+    _, vjp = jax.vjp(
+        lambda x, s, b: layernorm({"scale": s, "bias": b}, x), *res)
+    return vjp(g)
+
+
+_ln_op.defvjp(_ln_fwd, _ln_bwd)
+
+
+def layernorm_fused(p, x, min_elems: int = 1 << 20):
+    """Drop-in for ops.common.layernorm on LARGE activations (patch-embed /
+    patch-merging norms at early-stage resolutions). The XLA lowering
+    materializes the fp32 upcast of the whole tensor in HBM (it is consumed
+    by mean, var AND normalize) plus fp32 stat/copy chains — ~5 ms/iter of
+    the Swin-Base profile; this kernel keeps fp32 stats per row-tile in VMEM
+    with bf16 HBM traffic only. Exact two-pass math (same as layernorm)."""
+    if x.size < min_elems or not fused_attention_enabled():
+        from .common import layernorm
+        return layernorm(p, x)
+    shape = x.shape
+    out = _ln_op(x.reshape(-1, shape[-1]), p["scale"], p["bias"])
+    return out.reshape(shape)
+
+
 def ffn_megakernel(mlp_p, ln, x, act: str = "gelu",
                    keys: Tuple[str, str] = ("fc1", "fc2")):
     """Fused LN+FFN (drop-in for mlp_apply(p, layernorm(ln, x))).

@@ -9,7 +9,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU aborts a collective rendezvous after 40 s by default (a process-wide
+# static read latched by the FIRST collective, so per-jit compiler_options are
+# too late once earlier tests have touched the backend). On a loaded 1-core
+# host the full-depth dryrun's virtual tp partners can legitimately sit
+# unscheduled for minutes — raise the abort here, before jax init.
+if "collective_call_terminate_timeout" not in flags:
+    flags = (flags +
+             " --xla_cpu_collective_call_terminate_timeout_seconds=7200").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # Kernel-vs-XLA equivalence tests verify the EXACT math; the default
 # approx-reciprocal/single-exp softmax (~1e-4 rel) is bounded separately in
