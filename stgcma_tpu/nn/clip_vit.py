@@ -235,6 +235,8 @@ def _embed(params, x, conv_key: str, pos_key: str, cfg: ClipConfig):
                    else "temporal_embedding_audio"].astype(y.dtype)  # (1, T, D)
     y = y.reshape(B, T, N, -1) + t_emb[:, :, None, :]
     y = y.reshape(BT, N, -1)
+    # ln_pre stays on XLA: the fused-LN kernel measured -1.2% end-to-end here
+    # (M=BT*197 rows only admit 80-row divisor tiles -> 197 tiny grid steps).
     return layernorm(params["ln_pre"], y)
 
 
@@ -285,6 +287,14 @@ def _run_resblocks(params, cfg: ClipConfig, x, mode: str):
     return x
 
 
+def _ln_post_cls(params, x):
+    """ln_post on the class token only. LayerNorm normalizes each token
+    independently, so layernorm(x)[:, 0] == layernorm(x[:, 0]) exactly — the
+    reference normalizes all N tokens and slices (CLIP_AVE.py:1087-1096);
+    slicing first skips (N-1)/N of the fp32 LN volume."""
+    return layernorm(params["ln_post"], x[:, 0])
+
+
 def clip_backbone_apply(params, cfg: ClipConfig, a=None, v=None):
     """Returns dict of per-stream class-token features (BT, D) after ln_post
     (MM_CLIP_AVE.forward, CLIP_AVE.py:979-1140).
@@ -296,17 +306,17 @@ def clip_backbone_apply(params, cfg: ClipConfig, a=None, v=None):
     if cfg.ftmode == "videoonly":
         x = _embed(params, v, "conv1", "positional_embedding", cfg)
         x = _run_resblocks(params, cfg, x, mode)
-        out["v"] = layernorm(params["ln_post"], x)[:, 0]
+        out["v"] = _ln_post_cls(params, x)
         return out
     if cfg.ftmode == "audioonly":
         x = _embed(params, a[..., None], "conv1_audio", "positional_embedding_audio", cfg)
         x = _run_resblocks(params, cfg, x, mode)
-        out["a"] = layernorm(params["ln_post"], x)[:, 0]
+        out["a"] = _ln_post_cls(params, x)
         return out
     vt = _embed(params, v, "conv1", "positional_embedding", cfg)
     at = _embed(params, a[..., None], "conv1_audio", "positional_embedding_audio", cfg)
     x = (vt, at)
     x = _run_resblocks(params, cfg, x, mode)
-    out["v"] = layernorm(params["ln_post"], x[0])[:, 0]
-    out["a"] = layernorm(params["ln_post"], x[1])[:, 0]
+    out["v"] = _ln_post_cls(params, x[0])
+    out["a"] = _ln_post_cls(params, x[1])
     return out

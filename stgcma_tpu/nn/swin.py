@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from ..configs import SwinConfig
 from ..ops import window as W
 from ..ops.attention import cross_modal_fuse, temporal_attention, window_attention
-from ..ops.pallas_attn import cross_modal_fuse_flash, fused_attention_enabled
+from ..ops.pallas_attn import (cross_modal_fuse_flash, fused_attention_enabled,
+                               layernorm_fused)
 from ..ops.common import (layernorm, layernorm_init, linear, linear_init,
                           mlp_apply, mlp_init, trunc_normal)
 from ..ops.conv import conv3d, conv3d_init
@@ -174,7 +175,7 @@ def _temporal_branch(p, x, st: BlockStatic, signal: str, adapter_key: str):
                                         st.num_heads, t_index, signal=signal)
     elif fused_attention_enabled():
         from ..ops.pallas_attn import temporal_attention_fused
-        res = temporal_attention_fused(p["attn"], layernorm(p["norm1"], xt),
+        res = temporal_attention_fused(p["attn"], layernorm_fused(p["norm1"], xt),
                                        st.num_heads, t_index, signal=signal)
     else:
         res = temporal_attention(p["attn"], layernorm(p["norm1"], xt), st.num_heads,
@@ -391,7 +392,6 @@ def patch_embed_apply(p, x, cfg: SwinConfig):
     y = conv3d(p["proj"], x, stride=cfg.patch_size)  # (B, T', H', W', C)
     _, Tp, Hp, Wp, C = y.shape
     y = y.reshape(B * Tp, Hp * Wp, C)
-    from ..ops.pallas_attn import layernorm_fused
     y = layernorm_fused(p["norm"], y)
     return y, B, Tp
 
@@ -403,7 +403,6 @@ def patch_merging_init(key, dim: int):
 
 def patch_merging_apply(p, x, H: int, Wd: int):
     x = W.patch_merge(x, H, Wd)
-    from ..ops.pallas_attn import layernorm_fused
     x = layernorm_fused(p["norm"], x)
     return linear(p["reduction"], x)
 
@@ -470,7 +469,7 @@ def _run_layers(params, cfg: SwinConfig, statics, x, collect_multiscale=False):
         if collect_multiscale:
             v_tap = x[0] if isinstance(x, tuple) else x
             if s == cfg.num_layers - 1:
-                v_tap = layernorm(params["norm"], v_tap)
+                v_tap = layernorm_fused(params["norm"], v_tap)
             multi_scale.append(v_tap)
         if "downsample" in layer:
             H, Wd = cfg.stage_resolution(s)
@@ -498,13 +497,13 @@ def backbone_apply(params, cfg: SwinConfig, a=None, v=None, v_nega=None,
     if cfg.ftmode == "videoonly":
         x, _, _ = patch_embed_apply(params["patch_embed"], v, cfg)
         x, _ = _run_layers(params, cfg, statics, x)
-        out["v"] = layernorm(params["norm"], x)
+        out["v"] = layernorm_fused(params["norm"], x)
         return out
     if cfg.ftmode == "audioonly":
         a4 = a[..., None]  # (B, T, F, Tt, 1)
         x, _, _ = patch_embed_apply(params["patch_embed_audio"], a4, cfg)
         x, _ = _run_layers(params, cfg, statics, x)
-        out["a"] = layernorm(params["norm"], x)
+        out["a"] = layernorm_fused(params["norm"], x)
         return out
     # multimodal / fusion
     vt, B, Tp = patch_embed_apply(params["patch_embed"], v, cfg)
@@ -516,10 +515,10 @@ def backbone_apply(params, cfg: SwinConfig, a=None, v=None, v_nega=None,
         x = (vt, at)
     x, multi_scale = _run_layers(params, cfg, statics, x,
                                  collect_multiscale=collect_multiscale)
-    out["v"] = layernorm(params["norm"], x[0])
-    out["a"] = layernorm(params["norm"], x[1])
+    out["v"] = layernorm_fused(params["norm"], x[0])
+    out["a"] = layernorm_fused(params["norm"], x[1])
     if v_nega is not None:
-        out["v_nega"] = layernorm(params["norm"], x[2])
+        out["v_nega"] = layernorm_fused(params["norm"], x[2])
     if collect_multiscale:
         out["multi_scale"] = multi_scale
     out["B"], out["T"] = B, Tp

@@ -664,20 +664,26 @@ def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
                 b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _ln_tile(M: int, C: int, itemsize: int):
+    """Pick the row-tile TT (multiple of 8, Mosaic sublane constraint) and the
+    padded row count MP for the LN kernel. Prefers an exact divisor of M —
+    ~1 MB of input per tile — so the whole-array HBM pad copy (which would eat
+    most of the kernel's win) is skipped. Trace-time only, <= budget/8 steps."""
+    budget = max(8, ((1 << 20) // (C * itemsize)) // 8 * 8)
+    TT = min(budget, M // 8 * 8) if M >= 8 else 0
+    while TT > 8 and M % TT:
+        TT -= 8
+    if TT >= 8 and M % TT == 0:
+        return TT, M
+    TT = min(budget, _round_up(M, 8))
+    return TT, _round_up(M, TT)
+
+
 def _ln_pallas(x, scale, bias, eps: float):
     M, C = x.shape
-    # row-tile budget ~1 MB of input; prefer a divisor of M so the whole-array
-    # HBM pad copy (which would eat most of the win) is skipped
-    budget = max(8, ((1 << 20) // (C * x.dtype.itemsize)) // 8 * 8)
-    TT = budget
-    while TT > 8 and M % TT:
-        TT //= 2
-    if M % TT:
-        TT = min(budget, _round_up(M, 8))
-        MP = _round_up(M, TT)
+    TT, MP = _ln_tile(M, C, x.dtype.itemsize)
+    if MP != M:
         x = jnp.pad(x, ((0, MP - M), (0, 0)))
-    else:
-        MP = M
     out = pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
         out_shape=jax.ShapeDtypeStruct((MP, C), x.dtype),

@@ -58,3 +58,18 @@ def test_ln_fused_small_fallback(monkeypatch):
     p = _params(128)
     np.testing.assert_allclose(np.asarray(layernorm_fused(p, x)),
                                np.asarray(layernorm(p, x)), rtol=0, atol=0)
+
+
+def test_ln_tile_mosaic_constraints():
+    # Mosaic requires the sublane (row) block dim be a multiple of 8; the
+    # CLIP ln_pre shape (15760, 768) regressed on real TPU when the divisor
+    # search picked TT=10 (interpret mode does not enforce the constraint).
+    from stgcma_tpu.ops.pallas_attn import _ln_tile
+    for M, C, isz in [(15760, 768, 2), (250880, 128, 2), (62720, 256, 2),
+                      (3920, 1024, 2), (1000, 256, 4), (4, 128, 4),
+                      (8 * 197, 768, 2), (80 * 197, 1024, 2)]:
+        TT, MP = _ln_tile(M, C, isz)
+        assert TT % 8 == 0 and TT > 0, (M, C, TT)
+        assert MP >= M and MP % TT == 0, (M, C, TT, MP)
+        if M % 8 == 0:
+            assert MP == M, (M, C, TT, MP)  # no pad copy for 8-aligned M
