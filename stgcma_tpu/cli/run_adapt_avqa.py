@@ -224,12 +224,13 @@ def main(argv=None):
     eval_pipe = train_pipe
 
     def loss_fn(p, batch, rng_):
-        k1, k2 = jax.random.split(rng_)
+        k1, k2, k3 = jax.random.split(rng_, 3)
         a, v = train_pipe({"frames": batch["frames"], "wave": batch["wave"]}, k1)
         _, vn = train_pipe({"frames": batch["frames_nega"],
                             "wave": batch["wave"]}, k2)
         out_qa, m_pos, m_neg = avqa.apply_avqa(p, cfg, hcfg, a, v, vn,
-                                               batch["question"])
+                                               batch["question"],
+                                               train=True, dropout_rng=k3)
         total, aux = losses.avqa_loss(out_qa, m_pos, m_neg, batch["answer"],
                                       kind=args.loss)
         return total, aux

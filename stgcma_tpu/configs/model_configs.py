@@ -154,6 +154,9 @@ class AVQAHeadConfig:
     qst_hidden: int = 1536
     qst_layers: int = 1
     attn_heads: int = 4
+    # train-time dropout on the QA-head attention weights (reference
+    # MultiheadAttention(1536, 4, dropout=0.1), Swin_AVQAModel_V1.py:1449-1450)
+    attn_dropout: float = 0.1
     grid: int = 7
     num_frames: int = 10
 

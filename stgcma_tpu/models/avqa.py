@@ -106,8 +106,13 @@ def _grounding_and_match(hp, audio_feat, visual, hcfg: AVQAHeadConfig):
     return grd, out_match
 
 
-def apply_avqa(params, cfg: SwinConfig, hcfg: AVQAHeadConfig, a, v, v_nega, question):
-    """Fusion forward. Returns (out_qa, out_match_posi, out_match_nega)."""
+def apply_avqa(params, cfg: SwinConfig, hcfg: AVQAHeadConfig, a, v, v_nega,
+               question, train: bool = False, dropout_rng=None):
+    """Fusion forward. Returns (out_qa, out_match_posi, out_match_nega).
+
+    train + dropout_rng enable the QA head's attention-weight dropout
+    (reference trains attn_a/attn_v with MultiheadAttention dropout=0.1,
+    Swin_AVQAModel_V1.py:1449-1450); eval path is deterministic."""
     feats = swin.backbone_apply(params["backbone"], cfg, a=a, v=v, v_nega=v_nega)
     hp = params["avqatask"]
     B, T = feats["B"], feats["T"]
@@ -137,11 +142,17 @@ def apply_avqa(params, cfg: SwinConfig, hcfg: AVQAHeadConfig, a, v, v_nega, ques
     v_seq = grd_posi.reshape(B, T, d)
     a_seq = audio_feat_pure.reshape(B, T, d)
 
-    v_att = mha(hp["attn_v"], xq, v_seq, v_seq, hcfg.attn_heads)[:, 0]  # (B, C)
+    drop = hcfg.attn_dropout if (train and dropout_rng is not None) else 0.0
+    rng_v = rng_a = None
+    if drop > 0.0:
+        rng_v, rng_a = jax.random.split(dropout_rng)
+    v_att = mha(hp["attn_v"], xq, v_seq, v_seq, hcfg.attn_heads,
+                dropout_rate=drop, dropout_rng=rng_v)[:, 0]  # (B, C)
     src = linear(hp["linear12"], jax.nn.relu(linear(hp["linear11"], v_att)))
     v_att = layernorm(hp["norm1"], v_att + src)
 
-    a_att = mha(hp["attn_a"], xq, a_seq, a_seq, hcfg.attn_heads)[:, 0]
+    a_att = mha(hp["attn_a"], xq, a_seq, a_seq, hcfg.attn_heads,
+                dropout_rate=drop, dropout_rng=rng_a)[:, 0]
     src = linear(hp["linear22"], jax.nn.relu(linear(hp["linear21"], a_att)))
     a_att = layernorm(hp["norm2"], a_att + src)
 

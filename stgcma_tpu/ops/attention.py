@@ -102,12 +102,16 @@ def cross_modal_fuse(v_hidden, a_hidden, gate_v, gate_a):
     return v_out, a_out
 
 
-def mha(p, q, k, v, num_heads: int, mask=None):
+def mha(p, q, k, v, num_heads: int, mask=None, dropout_rate: float = 0.0,
+        dropout_rng=None):
     """torch nn.MultiheadAttention-compatible attention (batch_first=False inputs
     transposed by the caller; here q/k/v are (B, N, C)).
 
     p: {'in_proj': {'kernel' (C, 3C), 'bias' (3C,)}, 'out_proj': linear}
     Weight layout matches torch's packed in_proj ([q; k; v] stacked on out-dim).
+    dropout_rate/dropout_rng: train-time dropout on the attention weights
+    (torch MultiheadAttention(dropout=p) semantics — the AVQA QA head trains
+    with p=0.1, Swin_AVQAModel_V1.py:1449-1450); inactive when rng is None.
     """
     C = q.shape[-1]
     dh = C // num_heads
@@ -140,5 +144,8 @@ def mha(p, q, k, v, num_heads: int, mask=None):
     if mask is not None:
         attn = attn + mask.astype(jnp.float32)
     attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        attn = attn * keep.astype(attn.dtype) / (1.0 - dropout_rate)
     out = _merge_heads(jnp.einsum("bhnm,bhmd->bhnd", attn, vh))
     return linear(p["out_proj"], out)
