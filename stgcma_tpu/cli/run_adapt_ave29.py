@@ -222,6 +222,12 @@ def main(argv=None):
     # scheduler precedence mirrors AVE/traintest_adapt_ave29.py:79-107
     lr_mode = ("plateau" if args.lr_adapt
                else "cosine" if args.lr_cosine_adapt else "multistep")
+    if args.wa and not args.save_model:
+        # weight averaging loads models/model.{wa_start..} after training —
+        # without per-epoch checkpoints it would crash at the very end
+        raise SystemExit("--wa True requires --save_model True (weight "
+                         "averaging reads the per-epoch checkpoints, "
+                         "AVE/run_adapt_ave29.py:203-214)")
     trainer = Trainer(
         loss_fn=loss_fn, eval_fn=make_eval_fn(infer, eval_pipe, args.n_class),
         params=params, base_lr=args.lr, head_lr_mult=args.head_lr,

@@ -117,6 +117,16 @@ def main(argv=None):
     # multi-host bring-up (no-op unless STGCMA_COORDINATOR/_DISTRIBUTED set)
     from ..runtime.mesh import init_distributed
     init_distributed()
+    if args.ftmode != "fusion":
+        # the reference AVQA model's videoonly/audioonly/multimodal branches
+        # are vestigial AVE-style mlp_head classification paths that the AVQA
+        # training loop cannot consume (loss expects the fusion outputs) — the
+        # flag is kept for reference-surface compatibility but only fusion is
+        # runnable (same as the reference launch scripts)
+        raise SystemExit(f"--ftmode {args.ftmode} is not a runnable AVQA "
+                         "mode: the reference branch returns an AVE-style "
+                         "classification head output the AVQA loss cannot "
+                         "consume; use --ftmode fusion")
     rng = seed_everything(0)
     archive_args(args, args.exp_dir)
 
@@ -264,6 +274,9 @@ def main(argv=None):
 
     lr_mode = ("plateau" if args.lr_adapt
                else "cosine" if args.lr_cosine_adapt else "multistep")
+    if args.wa and not args.save_model:
+        raise SystemExit("--wa True requires --save_model True (weight "
+                         "averaging reads the per-epoch checkpoints)")
     trainer = Trainer(loss_fn=loss_fn, eval_fn=eval_fn, params=params,
                       base_lr=args.lr, head_lr_mult=args.head_lr,
                       n_epochs=args.n_epochs,

@@ -281,17 +281,15 @@ class AVSDataset:
     def __getitem__(self, i: int):
         row = self.rows[i]
         name, category = row["name"], row.get("category", "")
-        base = os.path.join(self.data_root, "visual_frames", self.split,
-                            category, name)
+        base = os.path.join(self.dir_image, self.split, category, name)
         frames = np.stack([
             load_image(os.path.join(base, f"{name}_{k+1}.png"))
             for k in range(self.num_frames)])
-        mask_base = os.path.join(self.data_root, "gt_masks", self.split,
-                                 category, name)
+        mask_base = os.path.join(self.dir_mask, self.split, category, name)
         n_masks = 1 if self.split == "train" else self.num_frames
         masks = np.stack([load_mask(os.path.join(mask_base, f"{name}_{k+1}.png"))
                           for k in range(n_masks)])
-        wav, sr = load_wav(os.path.join(self.data_root, "audio_wav", self.split,
+        wav, sr = load_wav(os.path.join(self.dir_audio_wav, self.split,
                                         category, name + ".wav"))
         wav = wav.mean(axis=0)
         wav = wav - wav.mean()

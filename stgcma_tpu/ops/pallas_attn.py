@@ -950,11 +950,7 @@ def _bidir_fuse_full_kernel(vh_ref, ah_ref, gv_ref, ga_ref, vo_ref, ao_ref):
                                  preferred_element_type=jnp.float32)  # (Nv,Na)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    if _exact_softmax():
-        pa = _pnorm(e).astype(dt)
-    else:
-        pa = (e * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True),
-                                approx=True)).astype(dt)
+    pa = _pnorm(e).astype(dt)
     a2v = jax.lax.dot_general(pa, ah, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     vo_ref[0] = vh + (gv * a2v).astype(dt)

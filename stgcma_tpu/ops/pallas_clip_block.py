@@ -87,15 +87,10 @@ def _self_attn(x, wqkv, bqkv, wproj, bproj, heads: int, n_real: int,
     return o.astype(x.dtype).reshape(TB, N, C)
 
 
-def _pnorm(e):
-    """exp-numerator -> probabilities over the last axis (fp32). Approx-
-    reciprocal multiply by default (~1e-4 rel, VPU full-rate);
-    STGCMA_EXACT_SOFTMAX=1 restores the exact divide (see pallas_attn)."""
-    from .pallas_attn import _exact_softmax
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    if _exact_softmax():
-        return e / s
-    return e * pl.reciprocal(s, approx=True)
+# exp-numerator -> probabilities: single shared numerics policy (approx-
+# reciprocal by default, STGCMA_EXACT_SOFTMAX=1 for the exact divide) — one
+# definition so a tuning change cannot silently miss a kernel family
+from .pallas_attn import _pnorm  # noqa: E402
 
 
 def _erf(x):

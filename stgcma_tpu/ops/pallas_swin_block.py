@@ -53,14 +53,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _p_norm(e, dt):
-    """exp-numerator -> probabilities over the last axis. Default: approx-
-    reciprocal multiply (~1e-4 rel, VPU full-rate) instead of a per-element
-    divide; STGCMA_EXACT_SOFTMAX=1 restores the exact divide."""
-    from .pallas_attn import _exact_softmax
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    if _exact_softmax():
-        return (e / s).astype(dt)
-    return (e * pl.reciprocal(s, approx=True)).astype(dt)
+    """exp-numerator -> probabilities (shared numerics policy in pallas_attn:
+    approx-reciprocal by default, STGCMA_EXACT_SOFTMAX=1 for exact divide)."""
+    from .pallas_attn import _pnorm
+    return _pnorm(e).astype(dt)
 
 
 def _gelu(x):
