@@ -130,3 +130,23 @@ def test_extract_audio_tool(tmp_path):
     assert (done, skipped, failed) == (1, 1, 1)
     assert calls == [("clip2.mp4", "clip2.wav", 16000)]
     assert (adir / "clip2.wav").exists()
+
+
+def test_avs_dir_overrides(tmp_path):
+    """--dir_image/--dir_mask/--dir_audio_wav must actually take effect
+    (they were silent no-ops once: __getitem__ kept building paths from
+    data_root — reference flags AVS/run_adapt_avs.py:89-92)."""
+    import shutil
+    root = os.path.join(FIX, "avs")
+    # split each media kind into its own unrelated root
+    for kind in ("visual_frames", "gt_masks", "audio_wav"):
+        shutil.copytree(os.path.join(root, kind),
+                        os.path.join(tmp_path, "alt_" + kind))
+    ds = AVSDataset(os.path.join(root, "s4_meta_data.csv"),
+                    data_root="/nonexistent", split="train",
+                    dir_image=str(tmp_path / "alt_visual_frames"),
+                    dir_mask=str(tmp_path / "alt_gt_masks"),
+                    dir_audio_wav=str(tmp_path / "alt_audio_wav"))
+    it = ds[0]
+    assert it["frames"].shape == (5, 32, 32, 3)
+    assert it["masks"].shape == (1, 224, 224)
