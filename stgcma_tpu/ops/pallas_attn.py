@@ -204,14 +204,13 @@ def _wmsa_pallas(q, k, v, biasmask, rows_per_tile: int = 128):
         bias_spec = pl.BlockSpec((TR, N, N),
                                  lambda i, nb=n_bias_blocks: (i % nb, 0, 0),
                                  memory_space=pltpu.VMEM)
-    RP = _round_up(R, TR)
-    if RP != R:
-        pad = ((0, RP - R), (0, 0), (0, 0))
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    grid = (RP // TR,)
+    # partial last block instead of pad/slice HBM copies: OOB loads land in
+    # garbage rows whose outputs are store-masked at the array bound
+    # (verified exact on v5e AND in interpret mode; rows are independent here)
+    grid = (-(-R // TR),)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((RP, N, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((R, N, dh), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TR, N, dh), lambda i: (i, 0, 0),
@@ -228,7 +227,7 @@ def _wmsa_pallas(q, k, v, biasmask, rows_per_tile: int = 128):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(q, k, v, biasmask)
-    return out[:R]
+    return out
 
 
 @jax.custom_vjp
@@ -386,13 +385,12 @@ def _win_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm, heads)
     # larger matmuls, bounded by the fp32 qkv/gram intermediates in VMEM)
     budget = max(1, _winblock_tile_bytes() // (N * C * 2))
     TW = nW * max(1, budget // nW)
-    RP = _round_up(B_, TW)
-    if RP != B_:
-        x = jnp.pad(x, ((0, RP - B_), (0, 0), (0, 0)))
+    # partial last block (no pad/slice HBM copies): garbage OOB rows are
+    # store-masked; B_ is always a multiple of nW so bias phase is preserved
     out = pl.pallas_call(
         functools.partial(_win_block_kernel, heads=heads),
-        out_shape=jax.ShapeDtypeStruct((RP, N, C), x.dtype),
-        grid=(RP // TW,),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), x.dtype),
+        grid=(-(-B_ // TW),),
         in_specs=[
             pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ln scale (C,)
@@ -410,7 +408,7 @@ def _win_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm, heads)
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm)
-    return out[:B_]
+    return out
 
 
 def _win_block_fwd(x, ln_scale, ln_bias, wqkv, bqkv_wproj_bproj, bm, heads):
@@ -604,13 +602,11 @@ def _ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str):
     hid = w1.shape[1]
     # token-tile budget: keep the fp32 hidden block ~4 MB
     TT = max(8, min(1024, _round_up((1 << 22) // (hid * 4), 8)))
-    MP = _round_up(M, TT)
-    if MP != M:
-        x = jnp.pad(x, ((0, MP - M), (0, 0)))
+    # partial last block (no pad/slice HBM copies); rows are independent
     out = pl.pallas_call(
         functools.partial(_ffn_kernel, act=act),
-        out_shape=jax.ShapeDtypeStruct((MP, C), x.dtype),
-        grid=(MP // TT,),
+        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+        grid=(-(-M // TT),),
         in_specs=[
             pl.BlockSpec((TT, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -626,7 +622,7 @@ def _ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, w1, b1, w2, b2)
-    return out[:M]
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -1090,10 +1086,7 @@ def _win_fuse_pallas(vh, ah, gate_v, gate_a):
     # tile budget: the fp32 (TW, NP, NP) logits block + its transpose and
     # both exp/prob products dominate — keep them ~16 MB total
     TW = max(1, (2 << 20) // (NP * NP * 4))
-    RP = _round_up(R, TW)
-    if RP != R:
-        vh = jnp.pad(vh, ((0, RP - R), (0, 0), (0, 0)))
-        ah = jnp.pad(ah, ((0, RP - R), (0, 0), (0, 0)))
+    # partial last block on the window-row dim (no pad/slice HBM copies)
     spec = pl.BlockSpec((TW, NP, DP), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1101,7 +1094,7 @@ def _win_fuse_pallas(vh, ah, gate_v, gate_a):
         _win_fuse_kernel,
         out_shape=(jax.ShapeDtypeStruct(vh.shape, vh.dtype),
                    jax.ShapeDtypeStruct(ah.shape, ah.dtype)),
-        grid=(RP // TW,),
+        grid=(-(-R // TW),),
         in_specs=[spec, spec, gspec, gspec,
                   pl.BlockSpec((NP, NP), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
@@ -1111,7 +1104,7 @@ def _win_fuse_pallas(vh, ah, gate_v, gate_a):
         interpret=(jax.default_backend() == "cpu"),
     )(vh, ah, gate_v.astype(jnp.float32), gate_a.astype(jnp.float32),
       jnp.asarray(fm))
-    return vo[:R, :N, :D], ao[:R, :N, :D]
+    return vo[:, :N, :D], ao[:, :N, :D]
 
 
 @jax.custom_vjp
@@ -1223,14 +1216,12 @@ def _win_block_q_pallas(x, ln_scale, ln_bias, qp, bm, heads):
     nW = bm.shape[0]
     budget = max(1, _winblock_tile_bytes() // (N * C * 2))
     TW = nW * max(1, budget // nW)
-    RP = _round_up(B_, TW)
-    if RP != B_:
-        x = jnp.pad(x, ((0, RP - B_), (0, 0), (0, 0)))
+    # partial last block (no pad/slice HBM copies); B_ is a multiple of nW
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_win_block_q_kernel, heads=heads),
-        out_shape=jax.ShapeDtypeStruct((RP, N, C), x.dtype),
-        grid=(RP // TW,),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), x.dtype),
+        grid=(-(-B_ // TW),),
         in_specs=[
             pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1247,7 +1238,7 @@ def _win_block_q_pallas(x, ln_scale, ln_bias, qp, bm, heads):
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, qp["wqkv_q"], qp["wqkv_s"], qp["bqkv"],
       qp["wproj_q"], qp["wproj_s"], qp["bproj"], bm)
-    return out[:B_]
+    return out
 
 
 def _attn_qparams(attn_p, qkv_key: str = "qkv", proj_key: str = "proj"):
@@ -1282,14 +1273,12 @@ def _ffn_q_pallas(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2, act: str):
     M, C = x.shape
     hid = w1q.shape[1]
     TT = max(8, min(1024, _round_up((1 << 22) // (hid * 4), 8)))
-    MP = _round_up(M, TT)
-    if MP != M:
-        x = jnp.pad(x, ((0, MP - M), (0, 0)))
+    # partial last block (no pad/slice HBM copies); rows are independent
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_ffn_q_kernel, act=act),
-        out_shape=jax.ShapeDtypeStruct((MP, C), x.dtype),
-        grid=(MP // TT,),
+        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+        grid=(-(-M // TT),),
         in_specs=[pl.BlockSpec((TT, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] + [wspec] * 8,
         out_specs=pl.BlockSpec((TT, C), lambda i: (i, 0),
@@ -1298,7 +1287,7 @@ def _ffn_q_pallas(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2, act: str):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2)
-    return out[:M]
+    return out
 
 
 def ffn_q_megakernel(mlp_p, ln, x, act: str = "gelu",
