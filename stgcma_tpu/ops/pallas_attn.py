@@ -15,6 +15,7 @@ for serving/eval).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import numpy as np
@@ -433,6 +434,20 @@ def _win_block_bwd(heads, res, g):
 _win_block_op.defvjp(_win_block_fwd, _win_block_bwd)
 
 
+def _win_pack(rows: int, bias_period: int) -> int:
+    """Largest valid gram-pack factor <= STGCMA_WINPACK (default 2): must
+    divide the window-row count, and the bias period must be 1 or divisible
+    by it (see _pack_blockdiag)."""
+    want = int(os.environ.get("STGCMA_WINPACK", "2"))
+    pack = 1
+    p = 2
+    while p <= want:
+        if rows % p == 0 and (bias_period == 1 or bias_period % p == 0):
+            pack = p
+        p *= 2
+    return pack
+
+
 def _pack_blockdiag(x, bm, pack: int):
     """Gram packing: fold `pack` consecutive windows into one block-diagonal
     attention problem of width pack*N. One MXU pass then computes `pack` grams
@@ -484,8 +499,7 @@ def window_block_megakernel(attn_p, ln, x, num_heads: int, rel_index, mask=None)
         bm = jnp.pad(bm, ((0, 0), (0, 0), (0, 0), (0, NP - N)),
                      constant_values=-1e30)
     quantized = "kernel_q" in attn_p["qkv"]     # int8 serving mode
-    pack = 2 if (x.shape[0] % 2 == 0 and
-                 (bm.shape[0] % 2 == 0 or bm.shape[0] == 1)) else 1
+    pack = _win_pack(x.shape[0], bm.shape[0])
     if quantized:
         qp = _attn_qparams(attn_p)
         if pack > 1:

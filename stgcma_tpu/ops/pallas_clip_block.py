@@ -94,13 +94,20 @@ from .pallas_attn import _pnorm  # noqa: E402
 
 
 def _erf(x):
-    """Abramowitz & Stegun 7.1.26 rational erf (|err| <= 1.5e-7) — Mosaic has
-    no erf/erfc lowering, so the exact-GELU kernels use this polynomial."""
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| <= 1.5e-7 with the exact
+    divide) — Mosaic has no erf/erfc lowering, so the exact-GELU kernels use
+    this polynomial. Under the default fast-numerics policy (same gate as the
+    softmax: STGCMA_EXACT_SOFTMAX unset) the 1/(1+p|x|) divide runs as the
+    VPU reciprocal estimate (~2e-4 rel in t -> ~1e-3 abs worst-case in erf,
+    i.e. <=5e-4 abs on the GELU output, bounded end-to-end by the bench
+    fidelity extra and tests/test_softmax_approx.py)."""
+    from .pallas_attn import _exact_softmax
     a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
     a4, a5, p = -1.453152027, 1.061405429, 0.3275911
     s = jnp.sign(x)
     ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
+    d = 1.0 + p * ax
+    t = (1.0 / d) if _exact_softmax() else pl.reciprocal(d, approx=True)
     poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
