@@ -36,7 +36,11 @@ def seed_everything(seed: int = 0):
 
 
 def archive_args(args, exp_dir: str):
+    """args.pkl + args.json experiment archive (AVE/run_adapt_ave29.py:193-196)."""
+    import pickle
     os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "args.pkl"), "wb") as f:
+        pickle.dump(args, f)
     with open(os.path.join(exp_dir, "args.json"), "w") as f:
         json.dump(vars(args), f, indent=1, default=str)
 

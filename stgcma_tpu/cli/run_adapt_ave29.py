@@ -133,7 +133,10 @@ def make_eval_fn(apply_fn, pipe, label_dim):
         target = np.concatenate(tgts)
         stats = calculate_stats(output, target)
         return {"acc": stats[0]["acc"],
-                "mAP": float(np.nanmean([s["AP"] for s in stats]))}
+                "mAP": float(np.nanmean([s["AP"] for s in stats])),
+                # full per-class stats list: Trainer pickles it per epoch
+                # (stats_<epoch>.pickle, AVE/traintest_adapt_ave29.py:243-244)
+                "_stats": stats}
     return eval_fn
 
 
@@ -250,6 +253,7 @@ def main(argv=None):
                  for e in range(args.wa_start, min(args.wa_end, args.n_epochs) + 1)]
         final_params = weight_average(trees)
         metrics = make_eval_fn(infer, eval_pipe, args.n_class)(final_params, te)
+        metrics.pop("_stats", None)
         print("weight-averaged eval:", metrics)
 
     if not args.skip_frame_agg:

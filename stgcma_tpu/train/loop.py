@@ -198,6 +198,13 @@ class Trainer:
             if np.isnan(loss):
                 break
             metrics = self.validate(val_loader) if val_loader is not None else {}
+            stats = metrics.pop("_stats", None)
+            if stats is not None:
+                # per-epoch full-stats archive (AVE/traintest_adapt_ave29.py:243-244)
+                import pickle
+                with open(os.path.join(self.exp_dir,
+                                       f"stats_{epoch}.pickle"), "wb") as f:
+                    pickle.dump(stats, f, protocol=pickle.HIGHEST_PROTOCOL)
             metric = metrics.get(self.metric_name, -loss)
             self._maybe_plateau(metric)
             self.history.append({"epoch": epoch, "loss": loss, **metrics})

@@ -16,9 +16,18 @@ def test_ave_cli_synthetic(tmp_path):
     assert len(trainer.history) == 1
     assert os.path.exists(os.path.join(exp, "result.csv"))
     assert os.path.exists(os.path.join(exp, "args.json"))
+    # experiment archive parity (AVE/run_adapt_ave29.py:193-196)
+    assert os.path.exists(os.path.join(exp, "args.pkl"))
     with open(os.path.join(exp, "progress.json")) as f:
         prog = json.load(f)
     assert prog["history"][0]["epoch"] == 1
+    # full per-class stats are NOT flattened into history/result.csv...
+    assert "_stats" not in prog["history"][0]
+    # ...but archived per epoch (AVE/traintest_adapt_ave29.py:243-244)
+    import pickle
+    with open(os.path.join(exp, "stats_1.pickle"), "rb") as f:
+        stats = pickle.load(f)
+    assert isinstance(stats, list) and "AP" in stats[0]
 
 
 def test_ave_cli_resume(tmp_path):
