@@ -89,3 +89,19 @@ def test_column_underflow_guard(approx_mode):
     vo, ao = _bidir_fuse_pallas(vh, ah, one, one)
     assert np.isfinite(np.asarray(vo)).all()
     assert np.isfinite(np.asarray(ao)).all()
+
+
+def test_ffn_megakernel_fast_erf_close(approx_mode, monkeypatch):
+    """The FFN megakernel's GELU erf under fast numerics (approx-reciprocal
+    divide in the A&S 7.1.26 rational, pallas_clip_block._erf) vs exact."""
+    from stgcma_tpu.ops.common import layernorm_init, mlp_init
+    from stgcma_tpu.ops.pallas_attn import ffn_megakernel
+    k = jax.random.PRNGKey(3)
+    mlp = mlp_init(k, 32, 128)
+    ln = layernorm_init(32)
+    x = jax.random.normal(jax.random.fold_in(k, 1), (4, 24, 32)) * 2.0
+    out_a = ffn_megakernel(mlp, ln, x)
+    monkeypatch.setenv("STGCMA_EXACT_SOFTMAX", "1")
+    out_e = ffn_megakernel(mlp, ln, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_e),
+                               rtol=RTOL, atol=ATOL)
