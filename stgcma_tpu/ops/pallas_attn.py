@@ -29,6 +29,41 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _fit_tile(R: int, want: int):
+    """Row-tile for a LEADING grid dim (no sublane constraint): the largest
+    exact divisor of R <= want, provided it keeps at least half the budget;
+    otherwise fall back to `want` with explicit padding. Returns (tile, RP —
+    the padded row count; RP == R when a divisor was found).
+
+    Partial last blocks are deliberately NOT used: a ceil-div grid with a
+    store-masked partial block measured exact in inference graphs but
+    hard-faulted the TPU worker inside train graphs (CLIP-B/16 fwd+bwd B=2,
+    temporal megakernel, v5e) — whether the clamped tile DMA is safe depends
+    on surrounding buffer layout, so it cannot be relied on. The divisor fit
+    keeps the no-pad benefit wherever an aligned tile exists."""
+    want = max(1, min(want, R))
+    for t in range(want, 0, -1):
+        if R % t == 0:
+            if 2 * t >= want:
+                return t, R
+            break
+    return want, _round_up(R, want)
+
+
+def _fit_tile8(M: int, want: int):
+    """Like _fit_tile for a SUBLANE-constrained row dim (rank-2 (M, C) views):
+    tiles must be multiples of 8 (Mosaic), so search divisors in steps of 8."""
+    want = max(8, want // 8 * 8)
+    t = min(want, M // 8 * 8)
+    while t >= 8:
+        if M % t == 0:
+            if 2 * t >= want:
+                return t, M
+            break
+        t -= 8
+    return want, _round_up(M, want)
+
+
 def fused_attention_enabled() -> bool:
     """Policy: fused Pallas attention on TPU (override with STGCMA_FUSED_ATTN)."""
     import os
@@ -193,26 +228,31 @@ def _wmsa_pallas(q, k, v, biasmask, rows_per_tile: int = 128):
     R, N, dh = q.shape
     nwh = biasmask.shape[0]
     if nwh <= rows_per_tile:
-        TR = max(nwh, (rows_per_tile // nwh) * nwh)
+        # tile must stay a multiple of the bias period nwh; fit an exact
+        # divisor of the R/nwh group count to avoid BOTH the pad/slice HBM
+        # copies and partial last blocks (see _fit_tile)
+        g, GP = _fit_tile(R // nwh, max(1, rows_per_tile // nwh))
+        TR = g * nwh
+        RP = GP * nwh
         kern = _wmsa_kernel_small_bias
         bias_spec = pl.BlockSpec((nwh, N, N), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
         assert nwh % rows_per_tile == 0, (nwh, rows_per_tile)
         TR = rows_per_tile
+        RP = _round_up(R, TR)  # R is a multiple of nwh = nb*TR, so RP == R
         kern = _wmsa_kernel_blocked_bias
         n_bias_blocks = nwh // TR
         bias_spec = pl.BlockSpec((TR, N, N),
                                  lambda i, nb=n_bias_blocks: (i % nb, 0, 0),
                                  memory_space=pltpu.VMEM)
-    # partial last block instead of pad/slice HBM copies: OOB loads land in
-    # garbage rows whose outputs are store-masked at the array bound
-    # (verified exact on v5e AND in interpret mode; rows are independent here)
-    grid = (-(-R // TR),)
+    if RP != R:
+        pad = ((0, RP - R), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((R, N, dh), q.dtype),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((RP, N, dh), q.dtype),
+        grid=(RP // TR,),
         in_specs=[
             pl.BlockSpec((TR, N, dh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -228,7 +268,7 @@ def _wmsa_pallas(q, k, v, biasmask, rows_per_tile: int = 128):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(q, k, v, biasmask)
-    return out
+    return out[:R]
 
 
 @jax.custom_vjp
@@ -385,13 +425,18 @@ def _win_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm, heads)
     # STGCMA_WINBLOCK_TILE_MB tunes it (bigger tiles = fewer grid steps +
     # larger matmuls, bounded by the fp32 qkv/gram intermediates in VMEM)
     budget = max(1, _winblock_tile_bytes() // (N * C * 2))
-    TW = nW * max(1, budget // nW)
-    # partial last block (no pad/slice HBM copies): garbage OOB rows are
-    # store-masked; B_ is always a multiple of nW so bias phase is preserved
+    # tile = exact divisor of the B_/nW group count when one exists (no HBM
+    # pad/slice AND no partial blocks — see _fit_tile); bias phase preserved
+    # because the tile stays a multiple of nW
+    g, GP = _fit_tile(B_ // nW, max(1, budget // nW))
+    TW = g * nW
+    BP = GP * nW
+    if BP != B_:
+        x = jnp.pad(x, ((0, BP - B_), (0, 0), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_win_block_kernel, heads=heads),
-        out_shape=jax.ShapeDtypeStruct((B_, N, C), x.dtype),
-        grid=(-(-B_ // TW),),
+        out_shape=jax.ShapeDtypeStruct((BP, N, C), x.dtype),
+        grid=(BP // TW,),
         in_specs=[
             pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ln scale (C,)
@@ -409,7 +454,7 @@ def _win_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm, heads)
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm)
-    return out
+    return out[:B_]
 
 
 def _win_block_fwd(x, ln_scale, ln_bias, wqkv, bqkv_wproj_bproj, bm, heads):
@@ -614,13 +659,15 @@ def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str):
     M, C = x.shape
     hid = w1.shape[1]
-    # token-tile budget: keep the fp32 hidden block ~4 MB
-    TT = max(8, min(1024, _round_up((1 << 22) // (hid * 4), 8)))
-    # partial last block (no pad/slice HBM copies); rows are independent
+    # token-tile budget: keep the fp32 hidden block ~4 MB; exact-divisor fit
+    # (8-aligned) avoids the pad/slice HBM copies without partial blocks
+    TT, MP = _fit_tile8(M, min(1024, _round_up((1 << 22) // (hid * 4), 8)))
+    if MP != M:
+        x = jnp.pad(x, ((0, MP - M), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_ffn_kernel, act=act),
-        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
-        grid=(-(-M // TT),),
+        out_shape=jax.ShapeDtypeStruct((MP, C), x.dtype),
+        grid=(MP // TT,),
         in_specs=[
             pl.BlockSpec((TT, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -636,7 +683,7 @@ def _ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, w1, b1, w2, b2)
-    return out
+    return out[:M]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -1098,9 +1145,12 @@ def _win_fuse_pallas(vh, ah, gate_v, gate_a):
         vh = jnp.pad(vh, ((0, 0), (0, 0), (0, DP - D)))
         ah = jnp.pad(ah, ((0, 0), (0, 0), (0, DP - D)))
     # tile budget: the fp32 (TW, NP, NP) logits block + its transpose and
-    # both exp/prob products dominate — keep them ~16 MB total
-    TW = max(1, (2 << 20) // (NP * NP * 4))
-    # partial last block on the window-row dim (no pad/slice HBM copies)
+    # both exp/prob products dominate — keep them ~16 MB total; exact-divisor
+    # fit avoids pad/slice HBM copies without partial blocks (_fit_tile)
+    TW, RP = _fit_tile(R, max(1, (2 << 20) // (NP * NP * 4)))
+    if RP != R:
+        vh = jnp.pad(vh, ((0, RP - R), (0, 0), (0, 0)))
+        ah = jnp.pad(ah, ((0, RP - R), (0, 0), (0, 0)))
     spec = pl.BlockSpec((TW, NP, DP), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1108,7 +1158,7 @@ def _win_fuse_pallas(vh, ah, gate_v, gate_a):
         _win_fuse_kernel,
         out_shape=(jax.ShapeDtypeStruct(vh.shape, vh.dtype),
                    jax.ShapeDtypeStruct(ah.shape, ah.dtype)),
-        grid=(-(-R // TW),),
+        grid=(RP // TW,),
         in_specs=[spec, spec, gspec, gspec,
                   pl.BlockSpec((NP, NP), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
@@ -1118,7 +1168,7 @@ def _win_fuse_pallas(vh, ah, gate_v, gate_a):
         interpret=(jax.default_backend() == "cpu"),
     )(vh, ah, gate_v.astype(jnp.float32), gate_a.astype(jnp.float32),
       jnp.asarray(fm))
-    return vo[:, :N, :D], ao[:, :N, :D]
+    return vo[:R, :N, :D], ao[:R, :N, :D]
 
 
 @jax.custom_vjp
@@ -1229,13 +1279,18 @@ def _win_block_q_pallas(x, ln_scale, ln_bias, qp, bm, heads):
     B_, N, C = x.shape
     nW = bm.shape[0]
     budget = max(1, _winblock_tile_bytes() // (N * C * 2))
-    TW = nW * max(1, budget // nW)
-    # partial last block (no pad/slice HBM copies); B_ is a multiple of nW
+    # exact-divisor tile fit (bias phase preserved: TW stays a multiple of
+    # nW); explicit pad fallback — see _fit_tile for why no partial blocks
+    g, GP = _fit_tile(B_ // nW, max(1, budget // nW))
+    TW = g * nW
+    BP = GP * nW
+    if BP != B_:
+        x = jnp.pad(x, ((0, BP - B_), (0, 0), (0, 0)))
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_win_block_q_kernel, heads=heads),
-        out_shape=jax.ShapeDtypeStruct((B_, N, C), x.dtype),
-        grid=(-(-B_ // TW),),
+        out_shape=jax.ShapeDtypeStruct((BP, N, C), x.dtype),
+        grid=(BP // TW,),
         in_specs=[
             pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1252,7 +1307,7 @@ def _win_block_q_pallas(x, ln_scale, ln_bias, qp, bm, heads):
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, qp["wqkv_q"], qp["wqkv_s"], qp["bqkv"],
       qp["wproj_q"], qp["wproj_s"], qp["bproj"], bm)
-    return out
+    return out[:B_]
 
 
 def _attn_qparams(attn_p, qkv_key: str = "qkv", proj_key: str = "proj"):
@@ -1286,13 +1341,15 @@ def _ffn_q_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
 def _ffn_q_pallas(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2, act: str):
     M, C = x.shape
     hid = w1q.shape[1]
-    TT = max(8, min(1024, _round_up((1 << 22) // (hid * 4), 8)))
-    # partial last block (no pad/slice HBM copies); rows are independent
+    # exact-divisor tile fit (8-aligned); explicit pad fallback (_fit_tile8)
+    TT, MP = _fit_tile8(M, min(1024, _round_up((1 << 22) // (hid * 4), 8)))
+    if MP != M:
+        x = jnp.pad(x, ((0, MP - M), (0, 0)))
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_ffn_q_kernel, act=act),
-        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
-        grid=(-(-M // TT),),
+        out_shape=jax.ShapeDtypeStruct((MP, C), x.dtype),
+        grid=(MP // TT,),
         in_specs=[pl.BlockSpec((TT, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] + [wspec] * 8,
         out_specs=pl.BlockSpec((TT, C), lambda i: (i, 0),
@@ -1301,7 +1358,7 @@ def _ffn_q_pallas(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2, act: str):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2)
-    return out
+    return out[:M]
 
 
 def ffn_q_megakernel(mlp_p, ln, x, act: str = "gelu",
