@@ -53,10 +53,18 @@ def tpavi_apply(p, x, audio=None, train: bool = False):
     theta_x = linear(p["theta"], x).reshape(B, THW, -1)
     phi_x = linear(p["phi"], au).reshape(B, THW, -1)
 
-    f = jnp.einsum("bnc,bmc->bnm", theta_x, phi_x,
-                   preferred_element_type=jnp.float32)
-    f_div_C = (f / THW).astype(x.dtype)
-    y = jnp.einsum("bnm,bmc->bnc", f_div_C, g_x).reshape(B, T, H, W, -1)
+    # 'dot' mode is softmax-free — the attention is LINEAR in g
+    # (f = theta @ phi^T; y = (f / THW) @ g, TPAVI.py:133-139) — so it
+    # reassociates exactly as y = theta @ (phi^T @ g) / THW. The (THW, THW)
+    # gram (983 MB fp32 per batch element at stage-1 resolution, the
+    # dominant HBM cost of the AVS forward) never materializes; the
+    # contracted (inter, inter) factor is ~64 KB. Equality is float
+    # reassociation only (pinned vs the torch full-gram reference in
+    # tests/test_ref_model_parity.py::test_avs_fusion_parity).
+    pg = jnp.einsum("bmc,bmd->bcd", phi_x, g_x,
+                    preferred_element_type=jnp.float32)
+    pg = (pg / THW).astype(x.dtype)
+    y = jnp.einsum("bnc,bcd->bnd", theta_x, pg).reshape(B, T, H, W, -1)
 
     w = linear(p["W_z"]["conv"], y)
     if train:
