@@ -22,9 +22,20 @@ from __future__ import annotations
 import functools
 import json
 import os
+import sys
 import time
 
-import numpy as np
+try:
+    import numpy as np
+except ModuleNotFoundError:  # pragma: no cover
+    # The image's bare `python` (/usr/local/bin) has no scientific stack;
+    # the real interpreter lives in /opt/venv. Re-exec there so a driver
+    # invoking plain `python bench.py` still gets a measurement.
+    _venv = "/opt/venv/bin/python"
+    if os.path.exists(_venv) and not os.environ.get("_STGCMA_REEXEC"):
+        os.environ["_STGCMA_REEXEC"] = "1"
+        os.execve(_venv, [_venv] + sys.argv, os.environ)
+    raise
 
 
 def _timed_scan(fn, reps=6, n_small=2, n_large=12):

@@ -257,7 +257,7 @@ class AVSDataset:
 
     def __init__(self, meta_csv: str, data_root: str, split: str = "train",
                  num_frames: int = 5, dir_image: str = "", dir_mask: str = "",
-                 dir_audio_wav: str = ""):
+                 dir_audio_wav: str = "", dir_audio_log_mel: str = ""):
         import csv
         self.rows = []
         with open(meta_csv) as f:
@@ -272,6 +272,13 @@ class AVSDataset:
         self.dir_mask = dir_mask or os.path.join(data_root, "gt_masks")
         self.dir_audio_wav = (dir_audio_wav
                               or os.path.join(data_root, "audio_wav"))
+        # VGGish log-mel pkls ([5,1,96,64] per video): the reference S4Dataset
+        # returns them with every item (AVS/dataloader.py:162-190) — unused by
+        # the Swin trainer but the input stage of the PVT/VGGish path. Loaded
+        # only when the directory exists (the pkls are an optional artifact of
+        # tools/preprocess_avs.py).
+        self.dir_audio_log_mel = (dir_audio_log_mel
+                                  or os.path.join(data_root, "audio_log_mel"))
         self.split = split
         self.num_frames = num_frames
 
@@ -294,7 +301,17 @@ class AVSDataset:
         wav = wav.mean(axis=0)
         wav = wav - wav.mean()
         segs = _segment_waveform(wav, sr, self.num_frames, 1.95)
-        return {"frames": frames, "wave": segs, "masks": masks}
+        item = {"frames": frames, "wave": segs, "masks": masks}
+        lm_path = os.path.join(self.dir_audio_log_mel, self.split, category,
+                               name + ".pkl")
+        if os.path.exists(lm_path):
+            import pickle
+            with open(lm_path, "rb") as fr:
+                lm = pickle.load(fr)
+            if hasattr(lm, "detach"):  # torch tensor pkl (reference layout)
+                lm = lm.detach().cpu().numpy()
+            item["audio_log_mel"] = np.asarray(lm, np.float32)
+        return item
 
 
 # ---------------------------------------------------------------------------

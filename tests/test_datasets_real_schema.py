@@ -86,6 +86,30 @@ def test_avs_real_schema():
     assert it["wave"].shape == (5, int(2000 * 1.95))
     ite = te[0]
     assert ite["masks"].shape == (5, 224, 224)      # test: 5 masks
+    # no audio_log_mel dir in the fixture tree -> the optional key is absent
+    assert "audio_log_mel" not in it
+
+
+def test_avs_audio_log_mel_pkl(tmp_path):
+    """Reference S4Dataset returns the VGGish log-mel pkl with every item
+    (AVS/dataloader.py:162-190, [5,1,96,64]); AVSDataset loads it when the
+    dir_audio_log_mel tree has one for the video."""
+    import pickle
+    import shutil
+    root = os.path.join(FIX, "avs")
+    ds0 = AVSDataset(os.path.join(root, "s4_meta_data.csv"), root,
+                     split="train")
+    name, cat = ds0.rows[0]["name"], ds0.rows[0]["category"]
+    lm_dir = tmp_path / "audio_log_mel" / "train" / cat
+    lm_dir.mkdir(parents=True)
+    lm = np.random.RandomState(0).randn(5, 1, 96, 64).astype(np.float32)
+    with open(lm_dir / f"{name}.pkl", "wb") as f:
+        pickle.dump(lm, f)
+    ds = AVSDataset(os.path.join(root, "s4_meta_data.csv"), root,
+                    split="train", dir_audio_log_mel=str(tmp_path / "audio_log_mel"))
+    it = ds[0]
+    assert it["audio_log_mel"].shape == (5, 1, 96, 64)
+    np.testing.assert_allclose(it["audio_log_mel"], lm)
 
 
 def test_avs_ms3_schema():
