@@ -185,8 +185,10 @@ def main(argv=None):
               "train loop hardcodes IouSemanticAwareLoss "
               "(traintest_adapt_avs.py:162) — training with IoU")
     if args.dir_audio_log_mel:
-        print("note: --dir_audio_log_mel accepted; the TPU pipeline computes "
-              "log-mel from the wav on device, precomputed pkls are unused")
+        print("note: --dir_audio_log_mel set; the VGGish pkls will be loaded "
+              "and returned with every batch (reference S4Dataset parity) — "
+              "the Swin trainer computes log-mel from the wav on device and "
+              "does not consume them")
 
     img = cfg.img_size
     fb = SWIN_FBANK if not args.tiny else dataclasses.replace(
@@ -201,8 +203,14 @@ def main(argv=None):
         tr_ds = SyntheticAVS(4, args.num_frames, img, split="train")
         te_ds = SyntheticAVS(2, args.num_frames, img, seed=99, split="test")
     else:
+        # audio_log_mel loading is opt-in via the explicit flag for this
+        # (Swin) trainer: the pkls are dead weight in its batches — a
+        # (B,5,1,96,64) f32 host->device transfer per step the model never
+        # reads (ADVICE r3). Direct AVSDataset users get auto-detection.
         dirs = dict(dir_image=args.dir_image, dir_mask=args.dir_mask,
-                    dir_audio_wav=args.dir_audio_wav)
+                    dir_audio_wav=args.dir_audio_wav,
+                    dir_audio_log_mel=args.dir_audio_log_mel,
+                    load_audio_log_mel=bool(args.dir_audio_log_mel))
         tr_ds = AVSDataset(args.meta_csv, args.data_root, "train",
                            args.num_frames, **dirs)
         te_ds = AVSDataset(args.meta_csv, args.data_root, "test",

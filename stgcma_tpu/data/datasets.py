@@ -257,7 +257,8 @@ class AVSDataset:
 
     def __init__(self, meta_csv: str, data_root: str, split: str = "train",
                  num_frames: int = 5, dir_image: str = "", dir_mask: str = "",
-                 dir_audio_wav: str = "", dir_audio_log_mel: str = ""):
+                 dir_audio_wav: str = "", dir_audio_log_mel: str = "",
+                 load_audio_log_mel: Optional[bool] = None):
         import csv
         self.rows = []
         with open(meta_csv) as f:
@@ -274,11 +275,18 @@ class AVSDataset:
                               or os.path.join(data_root, "audio_wav"))
         # VGGish log-mel pkls ([5,1,96,64] per video): the reference S4Dataset
         # returns them with every item (AVS/dataloader.py:162-190) — unused by
-        # the Swin trainer but the input stage of the PVT/VGGish path. Loaded
-        # only when the directory exists (the pkls are an optional artifact of
-        # tools/preprocess_avs.py).
+        # the Swin trainer but the input stage of the PVT/VGGish path.
+        # Presence is decided ONCE here, not per item (ADVICE r3): a
+        # partially-populated tree must not produce batches that mix items
+        # with/without the key (collate would KeyError, and the toggling batch
+        # pytree would force jit retraces). load_audio_log_mel=None
+        # auto-detects from the directory; True forces loading (a missing pkl
+        # then raises, like the reference's load_audio_lm); False never loads.
         self.dir_audio_log_mel = (dir_audio_log_mel
                                   or os.path.join(data_root, "audio_log_mel"))
+        if load_audio_log_mel is None:
+            load_audio_log_mel = os.path.isdir(self.dir_audio_log_mel)
+        self.load_audio_log_mel = load_audio_log_mel
         self.split = split
         self.num_frames = num_frames
 
@@ -302,12 +310,12 @@ class AVSDataset:
         wav = wav - wav.mean()
         segs = _segment_waveform(wav, sr, self.num_frames, 1.95)
         item = {"frames": frames, "wave": segs, "masks": masks}
-        lm_path = os.path.join(self.dir_audio_log_mel, self.split, category,
-                               name + ".pkl")
-        if os.path.exists(lm_path):
+        if self.load_audio_log_mel:
+            lm_path = os.path.join(self.dir_audio_log_mel, self.split,
+                                   category, name + ".pkl")
             import pickle
-            with open(lm_path, "rb") as fr:
-                lm = pickle.load(fr)
+            with open(lm_path, "rb") as fr:  # missing pkl raises, as the
+                lm = pickle.load(fr)         # reference load_audio_lm does
             if hasattr(lm, "detach"):  # torch tensor pkl (reference layout)
                 lm = lm.detach().cpu().numpy()
             item["audio_log_mel"] = np.asarray(lm, np.float32)

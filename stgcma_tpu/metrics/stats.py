@@ -44,16 +44,74 @@ def _roc_auc(target: np.ndarray, score: np.ndarray) -> float:
     return float(u / (len(pos) * len(neg)))
 
 
+def _clf_curve(target: np.ndarray, score: np.ndarray):
+    """Cumulative (fps, tps, thresholds) at distinct descending score values —
+    sklearn's _binary_clf_curve, as numpy."""
+    order = np.argsort(score, kind="mergesort")[::-1]
+    score, target = score[order], target[order]
+    distinct = np.where(np.diff(score))[0]
+    idx = np.r_[distinct, target.size - 1]
+    tps = np.cumsum(target)[idx]
+    fps = 1 + idx - tps
+    return fps, tps, score[idx]
+
+
+def _pr_curve(target: np.ndarray, score: np.ndarray):
+    """sklearn precision_recall_curve (drop_intermediate=False): (precision,
+    recall), recall decreasing, trailing (1, 0) sentinel."""
+    fps, tps, _ = _clf_curve(target, score)
+    precision = tps / np.maximum(tps + fps, 1)
+    recall = (tps / tps[-1]) if tps[-1] > 0 else np.ones_like(tps, float)
+    return (np.r_[precision[::-1], 1.0], np.r_[recall[::-1], 0.0])
+
+
+def _roc_points(target: np.ndarray, score: np.ndarray):
+    """sklearn roc_curve(drop_intermediate=True): (fpr, tpr) with the (0,0)
+    origin prepended and collinear interior points dropped."""
+    fps, tps, _ = _clf_curve(target, score)
+    if len(fps) > 2:
+        keep = np.where(np.r_[True, np.logical_or(np.diff(fps, 2),
+                                                  np.diff(tps, 2)), True])[0]
+        fps, tps = fps[keep], tps[keep]
+    fps = np.r_[0, fps]
+    tps = np.r_[0, tps]
+    fpr = fps / fps[-1] if fps[-1] > 0 else np.full_like(fps, np.nan, float)
+    tpr = tps / tps[-1] if tps[-1] > 0 else np.full_like(tps, np.nan, float)
+    return fpr, tpr
+
+
+# Sample the stored curve arrays to bound the stats pickle size, the same
+# stride the reference uses (utilities/stats.py:46).
+SAVE_EVERY_STEPS = 1000
+
+
 def calculate_stats(output: np.ndarray, target: np.ndarray) -> List[Dict]:
-    """Per-class AP/AUC + global argmax accuracy, same report structure as the
-    reference (utilities/stats.py:11-68)."""
+    """Per-class AP/AUC + sampled PR/ROC curve arrays + global argmax
+    accuracy, same report schema as the reference (utilities/stats.py:11-68):
+    each class dict carries precisions/recalls/AP/fpr/fnr/auc/acc, with the
+    curve arrays subsampled at stride SAVE_EVERY_STEPS and -1 placeholders
+    when the class has no positive (or no negative) samples."""
     classes_num = target.shape[-1]
     acc = float(np.mean(np.argmax(output, 1) == np.argmax(target, 1)))
     out = []
     for k in range(classes_num):
-        ap = _average_precision(target[:, k], output[:, k])
-        auc = _roc_auc(target[:, k], output[:, k])
-        out.append({"AP": ap, "auc": auc, "acc": acc})
+        t, s = target[:, k], output[:, k]
+        ap = _average_precision(t, s)
+        auc = _roc_auc(t, s)
+        if np.isnan(auc):
+            # degenerate class (single label value) — the reference's except
+            # branch stores -1 placeholders for every curve field
+            out.append({"precisions": -1, "recalls": -1, "AP": ap,
+                        "fpr": -1, "fnr": -1, "auc": auc, "acc": acc})
+            continue
+        precisions, recalls = _pr_curve(t, s)
+        fpr, tpr = _roc_points(t, s)
+        out.append({"precisions": precisions[0::SAVE_EVERY_STEPS],
+                    "recalls": recalls[0::SAVE_EVERY_STEPS],
+                    "AP": ap,
+                    "fpr": fpr[0::SAVE_EVERY_STEPS],
+                    "fnr": 1.0 - tpr[0::SAVE_EVERY_STEPS],
+                    "auc": auc, "acc": acc})
     return out
 
 

@@ -110,6 +110,17 @@ def test_avs_audio_log_mel_pkl(tmp_path):
     it = ds[0]
     assert it["audio_log_mel"].shape == (5, 1, 96, 64)
     np.testing.assert_allclose(it["audio_log_mel"], lm)
+    # presence is decided ONCE at construction (ADVICE r3): a partially
+    # populated tree raises on the missing item instead of producing a
+    # mixed-schema batch (item 2 has no pkl)
+    with pytest.raises(FileNotFoundError):
+        ds[1]
+    # explicit opt-out keeps the key absent even when the tree exists
+    ds_off = AVSDataset(os.path.join(root, "s4_meta_data.csv"), root,
+                        split="train",
+                        dir_audio_log_mel=str(tmp_path / "audio_log_mel"),
+                        load_audio_log_mel=False)
+    assert "audio_log_mel" not in ds_off[0]
 
 
 def test_avs_ms3_schema():
