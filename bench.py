@@ -343,6 +343,54 @@ def _bench_serving_device(B: int = 2):
     return agg, rates
 
 
+def _bench_host_decode(n_imgs: int = 256, size: int = 256):
+    """Host JPEG-decode throughput (VERDICT r3 #4): the stage BEFORE the
+    TPU-resident preprocess. Measures the native multithreaded decoder
+    (native/stgcma_host.cc, libjpeg-turbo) on photographic-noise JPEGs at
+    AVE frame geometry. Returns (frames_per_sec, decoded GB/s, ok_fraction).
+    Raises if the native library isn't built — the bench host must `make -C
+    native` (driver hosts have g++)."""
+    import subprocess
+    import tempfile
+
+    from stgcma_tpu.data import native_io
+    if not native_io.image_available():
+        # build on the fly: the .so is a 2 s g++ compile
+        here = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(["make", "-C", os.path.join(here, "native")],
+                       check=True, capture_output=True)
+        native_io._lib = None  # force re-probe
+        if not native_io.image_available():
+            raise RuntimeError("native image decode unavailable after build")
+
+    from PIL import Image
+    rng = np.random.RandomState(5)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        # low-frequency content + noise ~ photographic entropy (pure noise
+        # over-stresses entropy decode; flat gray under-stresses it)
+        base = rng.rand(size // 8, size // 8, 3)
+        for i in range(n_imgs):
+            img = np.kron(base, np.ones((8, 8, 1)))
+            img = img * 127 + rng.rand(size, size, 3) * 64
+            Image.fromarray(img.astype(np.uint8)).save(
+                os.path.join(td, f"f{i}.jpg"), quality=90)
+            paths.append(os.path.join(td, f"f{i}.jpg"))
+        nt = os.cpu_count() or 8
+        # warm page cache + thread pool
+        native_io.decode_image_batch(paths, size, size, num_threads=nt)
+        reps = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < 2.0:
+            frames, ok = native_io.decode_image_batch(paths, size, size,
+                                                      num_threads=nt)
+            reps += 1
+        dt = time.perf_counter() - t0
+        fps = reps * n_imgs / dt
+        gbs = fps * frames[0].nbytes / 1e9
+        return fps, gbs, float(ok.mean())
+
+
 def _bench_train(model: str, B: int):
     """Steady-state full training step (fwd+bwd+Adam update), steps/sec."""
     import jax
@@ -557,6 +605,14 @@ def main():
                 "metric": "TPU-resident fbank+frame preprocess throughput",
                 "value": round(r[0], 3), "unit": "GB/s",
                 "clips_per_sec": round(r[1], 1)}))
+        specs.append((
+            "host-decode", 90, lambda: _bench_host_decode(),
+            lambda r: {
+                "metric": "host JPEG decode throughput (native C, "
+                          f"{os.cpu_count()} threads, 256^2 q90)",
+                "value": round(r[0], 1), "unit": "frames/sec",
+                "decoded_gb_per_sec": round(r[1], 3),
+                "ok_fraction": r[2]}))
         specs.append((
             "train", 300,
             lambda: _bench_train(

@@ -50,7 +50,16 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def load_image(path: str) -> np.ndarray:
-    """jpg/png -> (H, W, 3) uint8."""
+    """jpg/png -> (H, W, 3) uint8. Native C decode when built (bit-exact vs
+    PIL — both sit on libjpeg-turbo/libpng — and releases the GIL so the
+    loader's thread pool parallelizes, replacing the reference's
+    num_workers DataLoader processes); PIL fallback otherwise."""
+    from . import native_io
+    if native_io.image_available():
+        arr = native_io.decode_image(path)
+        if arr is not None:
+            return arr
+        # fall through: PIL raises a descriptive error for the corrupt file
     from PIL import Image
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"), np.uint8)

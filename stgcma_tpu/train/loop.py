@@ -54,19 +54,32 @@ class Trainer:
         multistep=(start, step, decay))."""
         self.exp_dir = exp_dir
         os.makedirs(os.path.join(exp_dir, "models"), exist_ok=True)
+        # the head group gets its OWN table built from base lr*head_lr (the
+        # reference builds two cosine tables with the same min_lr floor,
+        # AVE/traintest_adapt_ave29.py:84-101 — a shared-table multiplier
+        # diverges near the floor)
         if lr_mode == "cosine":
             lr_table = O.cosine_schedule(base_lr, min_lr, n_epochs,
                                          steps_per_epoch, warmup_epochs)
+            head_table = O.cosine_schedule(base_lr * head_lr_mult, min_lr,
+                                           n_epochs, steps_per_epoch,
+                                           warmup_epochs)
         elif lr_mode == "multistep":
             lr_table = O.multistep_schedule(base_lr, multistep[0], multistep[1],
                                             multistep[2], n_epochs,
                                             steps_per_epoch)
+            head_table = O.multistep_schedule(
+                base_lr * head_lr_mult, multistep[0], multistep[1],
+                multistep[2], n_epochs, steps_per_epoch)
         elif lr_mode == "plateau":
             lr_table = np.full(n_epochs * steps_per_epoch, base_lr, np.float32)
+            head_table = np.full(n_epochs * steps_per_epoch,
+                                 base_lr * head_lr_mult, np.float32)
         else:
             raise ValueError(f"unknown lr_mode {lr_mode}")
         self.lr_mode = lr_mode
         self.lr_table = lr_table
+        self.head_lr_table = head_table
         self.plateau_patience = plateau_patience
         self.plateau_factor = plateau_factor
         self._plateau_bad = 0
@@ -76,7 +89,7 @@ class Trainer:
         self._loss_fn = loss_fn
         self._compute_dtype = compute_dtype
         self.tx = O.build_optimizer(params, base_lr, head_lr_mult, weight_decay,
-                                    lr_table=lr_table)
+                                    lr_table=lr_table, head_lr_table=head_table)
         self.train_p, self.frozen_p, self.opt_state, self.mask = \
             S.init_train_state(params, self.tx, freeze_base)
         if mesh is not None:
@@ -105,16 +118,21 @@ class Trainer:
         moments survive; only the lr closure (and its jit) rebuilds."""
         if self.lr_mode != "plateau":
             return
-        if metric > self._plateau_best + 1e-4:
+        # torch is_better, mode='max', threshold_mode='rel', threshold=1e-4:
+        # a > best * (1 + threshold)
+        if metric > self._plateau_best * (1.0 + 1e-4):
             self._plateau_best = metric
             self._plateau_bad = 0
             return
         self._plateau_bad += 1
         if self._plateau_bad > self.plateau_patience:
             self._plateau_bad = 0
+            # torch ReduceLROnPlateau multiplies EVERY param group's lr
             self.lr_table = self.lr_table * self.plateau_factor
+            self.head_lr_table = self.head_lr_table * self.plateau_factor
             print(f"plateau: reducing lr to {self.lr_table[0]:.3e}")
             self.tx = O.build_optimizer(None, lr_table=self.lr_table,
+                                        head_lr_table=self.head_lr_table,
                                         **self._opt_args)
             self.step_fn = S.make_train_step(self._loss_fn, self.tx,
                                              compute_dtype=self._compute_dtype)

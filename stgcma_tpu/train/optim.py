@@ -109,30 +109,34 @@ def torch_adam(lr_fn, weight_decay: float = 5e-7, b1: float = 0.95, b2: float = 
 
 def build_optimizer(params, base_lr: float, head_lr_mult: float = 1.0,
                     weight_decay: float = 5e-7,
-                    lr_table: np.ndarray = None):
+                    lr_table: np.ndarray = None,
+                    head_lr_table: np.ndarray = None):
     """Two-group Adam: 'adapt' @ lr, 'head' @ lr*head_lr, frozen untouched
     (AVE/traintest_adapt_ave29.py:68).
+
+    The reference builds a SEPARATE cosine table for the head group from
+    base_value=lr*head_lr down to the same min_lr
+    (AVE/traintest_adapt_ave29.py:84-101) — pass it as head_lr_table for
+    exact parity; without one the head group falls back to the multiplier
+    form (identical except near the min_lr floor).
 
     Labels are computed by a callable so the transform works both on the full
     tree and on the pruned trainable subtree (None leaves are empty subtrees)."""
     del params  # structure-independent; labels computed lazily
 
-    if lr_table is not None:
-        table = jnp.asarray(lr_table)
-        lr_fn = lambda step: table[jnp.minimum(step, table.shape[0] - 1)]
+    def table_fn(tab):
+        t = jnp.asarray(tab)
+        return lambda step: t[jnp.minimum(step, t.shape[0] - 1)]
+
+    lr_fn = table_fn(lr_table) if lr_table is not None else (lambda s: base_lr)
+    if head_lr_table is not None:
+        head_fn = table_fn(head_lr_table)
     else:
-        lr_fn = lambda step: base_lr
+        head_fn = lambda s: lr_fn(s) * head_lr_mult
 
-    def scaled(mult):
-        return torch_adam(lambda s: lr_fn(s) * mult, weight_decay=weight_decay)
-
-    # NOTE: with a shared table, head group uses lr*head_lr via multiplier;
-    # the reference builds a separate cosine table from base lr*head_lr with the
-    # same min_lr — for min_lr << lr the multiplicative approximation is exact
-    # during warmup/decay shape except the floor; we keep the multiplier form.
     tx = optax.multi_transform(
-        {"adapt": scaled(1.0),
-         "head": scaled(head_lr_mult),
+        {"adapt": torch_adam(lr_fn, weight_decay=weight_decay),
+         "head": torch_adam(head_fn, weight_decay=weight_decay),
          "frozen": optax.set_to_zero(),
          "buffer": optax.set_to_zero()},
         label_params)
