@@ -99,6 +99,19 @@ def _ffn_clip(p, x):
     return _mlp(p, layernorm(p["ln_2"], x))
 
 
+def _qfuse_adapters(p) -> bool:
+    """int8 serving with the adapter down-proj fused into the megakernels.
+    OPT-IN (STGCMA_QFUSE_ADAPTERS=1): measured NEUTRAL-to-NEGATIVE on v5e
+    (232.5-233.6 vs 236.1-237.2 clips/s, CLIP-B/16 int8 B=8, two A/B orders —
+    BENCH_NOTES round 4): the adapter chain's HBM traffic it removes was
+    already overlapped, while the in-kernel down-proj + narrow-lane hidden
+    store lengthen the kernels' serial chain. Kept tested for other shape
+    regimes."""
+    import os
+    return ("kernel_q" in p["attn"]["in_proj"]
+            and os.environ.get("STGCMA_QFUSE_ADAPTERS", "0") == "1")
+
+
 def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
     """temporal adaptation: attention over the frame axis + no-skip T_Adapter +
     residual (CLIP_AVE.py:131-135). x: (B*T, N, C)."""
@@ -106,6 +119,19 @@ def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
     from ..ops.pallas_attn import fused_attention_enabled, temporal_adapt_v2
     BT, N, C = x.shape
     B = BT // T
+    if _qfuse_adapters(p) and fused_attention_enabled() and heads <= 16:
+        # int8 serving: attn_out exists only to feed T_Adapter, so the kernel
+        # emits just the dA=C/16-wide adapter hidden — the full-width tensor
+        # never returns to HBM and the layout round-trip transposes shrink
+        # 16x on the way back (VERDICT r3 #1b).
+        from ..ops.common import linear
+        from ..ops.pallas_attn import clip_attn_megakernel_h
+        xt = x.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
+        h = clip_attn_megakernel_h(p["attn"], p["ln_1"], p[adapter_key], xt,
+                                   heads, emit_o=False)
+        dA = h.shape[-1]
+        h = h.reshape(B, N, T, dA).transpose(0, 2, 1, 3).reshape(BT, N, dA)
+        return x + linear(p[adapter_key]["D_fc2"], h)
     if fused_attention_enabled() and heads <= 16 and T <= 16 \
             and jax.default_backend() != "cpu" \
             and os.environ.get("STGCMA_TV2", "0") == "1":
@@ -140,8 +166,19 @@ def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
 
 def _single(p, x, cfg: ClipConfig, sfx: str):
     """video_adapt / audio_adapt (CLIP_AVE.py:128-143, 160-174)."""
+    from ..ops.pallas_attn import fused_attention_enabled
     h = cfg.heads
     x = _t_adapt(p, x, h, cfg.num_frames, "T_Adapter" + sfx)
+    if _qfuse_adapters(p) and fused_attention_enabled() and h <= 16:
+        from ..ops.pallas_attn import clip_attn_megakernel_h, ffn_qh_megakernel
+        xs, xs_h = clip_attn_megakernel_h(p["attn"], p["ln_1"],
+                                          p["S_Adapter" + sfx], x, h,
+                                          emit_o=True)
+        x = x + xs + adapter_out(p["S_Adapter" + sfx], xs_h)
+        xn, xn_h = ffn_qh_megakernel(p["mlp"], p["ln_2"],
+                                     p["MLP_Adapter" + sfx], x,
+                                     act="quick_gelu", keys=("c_fc", "c_proj"))
+        return x + xn + adapter_out(p["MLP_Adapter" + sfx], xn_h)
     x = x + adapter_apply(p["S_Adapter" + sfx], _attn_ln(p, x, h), skip=True)
     xn = _ffn_clip(p, x)
     return x + xn + adapter_apply(p["MLP_Adapter" + sfx], xn, skip=False)
@@ -162,18 +199,38 @@ def _fusion(p, v, a, cfg: ClipConfig):
         from ..ops.pallas_clip_block import clip_fusion_spatial_block
         return clip_fusion_spatial_block(p, v, a, h)
 
-    vs = _attn_ln(p, v, h)
-    a_s = _attn_ln(p, a, h)
-    vs_h = adapter_hidden(p["S_Adapter"], vs)
-    as_h = adapter_hidden(p["S_Adapter_Audio"], a_s)
+    qf = _qfuse_adapters(p) and fused_attention_enabled() and h <= 16
+    if qf:
+        # int8 serving: the megakernels emit (attn/ffn out, adapter hidden)
+        # in one pass — the XLA adapter_hidden full-width re-reads disappear
+        # (VERDICT r3 #1a).
+        from ..ops.pallas_attn import clip_attn_megakernel_h, ffn_qh_megakernel
+        vs, vs_h = clip_attn_megakernel_h(p["attn"], p["ln_1"],
+                                          p["S_Adapter"], v, h, emit_o=True)
+        a_s, as_h = clip_attn_megakernel_h(p["attn"], p["ln_1"],
+                                           p["S_Adapter_Audio"], a, h,
+                                           emit_o=True)
+    else:
+        vs = _attn_ln(p, v, h)
+        a_s = _attn_ln(p, a, h)
+        vs_h = adapter_hidden(p["S_Adapter"], vs)
+        as_h = adapter_hidden(p["S_Adapter_Audio"], a_s)
     vs_h, as_h = cross_modal_fuse(vs_h, as_h, p["gate_v"], p["gate_a"])
     v = v + vs + adapter_out(p["S_Adapter"], vs_h)
     a = a + a_s + adapter_out(p["S_Adapter_Audio"], as_h)
 
-    vn = _ffn_clip(p, v)
-    an = _ffn_clip(p, a)
-    vn_h = adapter_hidden(p["MLP_Adapter"], vn)
-    an_h = adapter_hidden(p["MLP_Adapter_Audio"], an)
+    if qf:
+        vn, vn_h = ffn_qh_megakernel(p["mlp"], p["ln_2"], p["MLP_Adapter"],
+                                     v, act="quick_gelu",
+                                     keys=("c_fc", "c_proj"))
+        an, an_h = ffn_qh_megakernel(p["mlp"], p["ln_2"],
+                                     p["MLP_Adapter_Audio"], a,
+                                     act="quick_gelu", keys=("c_fc", "c_proj"))
+    else:
+        vn = _ffn_clip(p, v)
+        an = _ffn_clip(p, a)
+        vn_h = adapter_hidden(p["MLP_Adapter"], vn)
+        an_h = adapter_hidden(p["MLP_Adapter_Audio"], an)
     vn_h, an_h = cross_modal_fuse(vn_h, an_h, p["gate_v"], p["gate_a"])
     v = v + vn + adapter_out(p["MLP_Adapter"], vn_h)
     a = a + an + adapter_out(p["MLP_Adapter_Audio"], an_h)

@@ -856,6 +856,49 @@ def clip_temporal_megakernel(attn_p, ln, x, num_heads: int):
     return out[:, :T, :]
 
 
+def clip_attn_megakernel_h(attn_p, ln, adapter_p, x, num_heads: int,
+                           emit_o: bool):
+    """int8-serving twin of clip_temporal_megakernel with the bottleneck
+    adapter's down-projection + GELU fused in. emit_o=False returns only the
+    hidden gelu(fc1_ad(attn_out)) (B_, T, dA) — the CLIP temporal site, where
+    attn_out feeds nothing else (CLIP_AVE.py:131-135) and dA = C/16, so the
+    full-width tensor never round-trips HBM. emit_o=True returns
+    (attn_out, hidden) — the spatial site, where attn_out is also the
+    S_Adapter residual operand. Requires quantized attn params."""
+    B_, T, C = x.shape
+    qp = _attn_qparams(attn_p, "in_proj", "out_proj")
+    wd = adapter_p["D_fc1"]["kernel"]
+    bd = adapter_p["D_fc1"]["bias"]
+    dA = wd.shape[1]
+    if T <= 16 and (8 * T) % 16 == 0:
+        pack = 8
+        RP = _round_up(B_, pack)
+        if RP != B_:
+            x = jnp.pad(x, ((0, RP - B_), (0, 0), (0, 0)))
+        xp = x.reshape(RP // pack, pack * T, C)
+        bm_np = np.full((pack * T, pack * T), -1e30, np.float32)
+        for j in range(pack):
+            bm_np[j * T:(j + 1) * T, j * T:(j + 1) * T] = 0.0
+        bm = jnp.asarray(np.broadcast_to(
+            bm_np, (1, num_heads) + bm_np.shape).copy())
+        res = _win_block_qad_pallas(xp, ln["scale"], ln["bias"], qp, wd, bd,
+                                    bm, num_heads, emit_o)
+        if emit_o:
+            return (res[0].reshape(RP, T, C)[:B_],
+                    res[1].reshape(RP, T, dA)[:B_])
+        return res.reshape(RP, T, dA)[:B_]
+    TP = _round_up(T, 16)
+    bm = np.zeros((1, num_heads, TP, TP), np.float32)
+    if TP != T:
+        bm[..., T:] = -1e30
+        x = jnp.pad(x, ((0, 0), (0, TP - T), (0, 0)))
+    res = _win_block_qad_pallas(x, ln["scale"], ln["bias"], qp, wd, bd,
+                                jnp.asarray(bm), num_heads, emit_o)
+    if emit_o:
+        return res[0][:, :T, :], res[1][:, :T, :]
+    return res[:, :T, :]
+
+
 def mha_self_fused(p, x, num_heads: int):
     """Dense self-attention (CLIP ResidualAttentionBlock.attention) through the
     W-MSA kernel with a zero bias — logits stay in VMEM instead of XLA
@@ -1236,10 +1279,12 @@ def _dotq(xf, wq, ws):
     return acc.astype(jnp.float32) * sx * ws
 
 
-def _win_block_q_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-                        wproj_ref, sproj_ref, bproj_ref, bm_ref, o_ref, *,
-                        heads: int, ln_eps: float = 1e-5):
-    """int8 twin of _win_block_kernel: LN + int8 qkv + attention + int8 proj."""
+def _win_block_q_core(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                      wproj_ref, sproj_ref, bproj_ref, bm_ref, *,
+                      heads: int, ln_eps: float):
+    """Shared int8 attention-block body: LN + int8 qkv + attention + int8
+    proj. Returns the raw fp32 attention output (TW*N, C) — callers write it
+    and/or feed it through a fused adapter down-projection."""
     TW, N, C = x_ref.shape
     dh = C // heads
     scale = dh ** -0.5
@@ -1270,8 +1315,66 @@ def _win_block_q_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         outs.append(oh.astype(jnp.bfloat16).reshape(TW * N, dh))
     o = jnp.concatenate(outs, axis=-1)          # (TW*N, C) heads merged
     o = _dotq(o.astype(jnp.float32), wproj_ref[:], sproj_ref[:])
-    o = o + bproj_ref[:].astype(jnp.float32)
+    return o + bproj_ref[:].astype(jnp.float32)
+
+
+def _win_block_q_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                        wproj_ref, sproj_ref, bproj_ref, bm_ref, o_ref, *,
+                        heads: int, ln_eps: float = 1e-5):
+    """int8 twin of _win_block_kernel: LN + int8 qkv + attention + int8 proj."""
+    TW, N, C = x_ref.shape
+    o = _win_block_q_core(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
+                          bqkv_ref, wproj_ref, sproj_ref, bproj_ref, bm_ref,
+                          heads=heads, ln_eps=ln_eps)
     o_ref[:] = o.astype(o_ref.dtype).reshape(TW, N, C)
+
+
+def _adapter_down(o, wd_ref, bd_ref):
+    """Bottleneck-adapter down-projection + GELU on the raw fp32 attention/FFN
+    output (adapters.adapter_hidden fused in-kernel). o is cast to bf16 first
+    so the fused hidden matches the unfused path's numerics (the megakernels
+    hand bf16 outputs to the XLA adapter)."""
+    from .pallas_clip_block import _erf
+    h = jax.lax.dot_general(o.astype(jnp.bfloat16),
+                            wd_ref[:].astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + bd_ref[:].astype(jnp.float32)
+    return 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+
+
+def _win_block_qd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
+                         bqkv_ref, wproj_ref, sproj_ref, bproj_ref, bm_ref,
+                         wd_ref, bd_ref, h_ref, *, heads: int,
+                         ln_eps: float = 1e-5):
+    """Attention block + fused adapter down+GELU, emitting ONLY the (narrow)
+    adapter hidden — the CLIP temporal site consumes attn_out exclusively
+    through T_Adapter (CLIP_AVE.py:131-135), so the full-width output never
+    needs to reach HBM."""
+    TW, N, _ = x_ref.shape
+    dA = h_ref.shape[-1]
+    o = _win_block_q_core(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
+                          bqkv_ref, wproj_ref, sproj_ref, bproj_ref, bm_ref,
+                          heads=heads, ln_eps=ln_eps)
+    h = _adapter_down(o, wd_ref, bd_ref)
+    h_ref[:] = h.astype(h_ref.dtype).reshape(TW, N, dA)
+
+
+def _win_block_qh_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
+                         bqkv_ref, wproj_ref, sproj_ref, bproj_ref, bm_ref,
+                         wd_ref, bd_ref, o_ref, h_ref, *, heads: int,
+                         ln_eps: float = 1e-5):
+    """Attention block emitting BOTH the full-width output (residual operand)
+    and the fused adapter hidden (STG-CMA fusion operand) — saves the XLA
+    adapter's full-width re-read at the CLIP spatial site."""
+    TW, N, C = x_ref.shape
+    dA = h_ref.shape[-1]
+    o = _win_block_q_core(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
+                          bqkv_ref, wproj_ref, sproj_ref, bproj_ref, bm_ref,
+                          heads=heads, ln_eps=ln_eps)
+    o_ref[:] = o.astype(o_ref.dtype).reshape(TW, N, C)
+    h = _adapter_down(o, wd_ref, bd_ref)
+    h_ref[:] = h.astype(h_ref.dtype).reshape(TW, N, dA)
 
 
 def _win_block_q_pallas(x, ln_scale, ln_bias, qp, bm, heads):
@@ -1308,6 +1411,56 @@ def _win_block_q_pallas(x, ln_scale, ln_bias, qp, bm, heads):
     )(x, ln_scale, ln_bias, qp["wqkv_q"], qp["wqkv_s"], qp["bqkv"],
       qp["wproj_q"], qp["wproj_s"], qp["bproj"], bm)
     return out[:B_]
+
+
+def _win_block_qad_pallas(x, ln_scale, ln_bias, qp, wd, bd, bm, heads,
+                          emit_o: bool):
+    """qp as in _win_block_q_pallas, plus the adapter down-proj (wd (C, dA),
+    bd (dA,)). emit_o=False -> returns the adapter hidden (B_, N, dA) only
+    (temporal site); emit_o=True -> (out (B_, N, C), hidden) (spatial/FFN-free
+    sites). Tiling identical to _win_block_q_pallas."""
+    B_, N, C = x.shape
+    dA = wd.shape[1]
+    nW = bm.shape[0]
+    budget = max(1, _winblock_tile_bytes() // (N * C * 2))
+    g, GP = _fit_tile(B_ // nW, max(1, budget // nW))
+    TW = g * nW
+    BP = GP * nW
+    if BP != B_:
+        x = jnp.pad(x, ((0, BP - B_), (0, 0), (0, 0)))
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    htile = pl.BlockSpec((TW, N, dA), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = _win_block_qh_kernel if emit_o else _win_block_qd_kernel
+    out_shape = [jax.ShapeDtypeStruct((BP, N, dA), x.dtype)]
+    out_specs = [htile]
+    if emit_o:
+        out_shape = [jax.ShapeDtypeStruct((BP, N, C), x.dtype)] + out_shape
+        out_specs = [tile] + out_specs
+    res = pl.pallas_call(
+        functools.partial(kern, heads=heads),
+        out_shape=out_shape,
+        grid=(BP // TW,),
+        in_specs=[
+            tile,
+            wspec, wspec,           # ln scale/bias
+            wspec, wspec, wspec,    # wqkv_q, wqkv_s, bqkv
+            wspec, wspec, wspec,    # wproj_q, wproj_s, bproj
+            pl.BlockSpec((nW,) + bm.shape[1:], lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, wspec,           # adapter wd (C, dA), bd (dA,)
+        ],
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, ln_scale, ln_bias, qp["wqkv_q"], qp["wqkv_s"], qp["bqkv"],
+      qp["wproj_q"], qp["wproj_s"], qp["bproj"], bm, wd, bd)
+    if emit_o:
+        return res[0][:B_], res[1][:B_]
+    return res[0][:B_]
 
 
 def _attn_qparams(attn_p, qkv_key: str = "qkv", proj_key: str = "proj"):
@@ -1373,6 +1526,74 @@ def ffn_q_megakernel(mlp_p, ln, x, act: str = "gelu",
                         mlp_p[f2]["kernel_q"], mlp_p[f2]["kernel_s"],
                         mlp_p[f2]["bias"], act)
     return out.reshape(shape)
+
+
+def _ffn_qh_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                   w2_ref, s2_ref, b2_ref, wd_ref, bd_ref, o_ref, h_ref, *,
+                   act: str, ln_eps: float = 1e-5):
+    """_ffn_q_kernel + fused adapter down+GELU second output (the MLP_Adapter
+    hidden is computed from the FFN output — CLIP_AVE.py:420-428)."""
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = xn * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    h = _dotq(xn, w1_ref[:], s1_ref[:]) + b1_ref[:].astype(jnp.float32)
+    if act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        from .pallas_clip_block import _erf
+        h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+    o = _dotq(h, w2_ref[:], s2_ref[:]) + b2_ref[:].astype(jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype)
+    h_ref[:] = _adapter_down(o, wd_ref, bd_ref).astype(h_ref.dtype)
+
+
+def _ffn_qh_pallas(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2, wd, bd,
+                   act: str):
+    M, C = x.shape
+    hid = w1q.shape[1]
+    dA = wd.shape[1]
+    TT, MP = _fit_tile8(M, min(1024, _round_up((1 << 22) // (hid * 4), 8)))
+    if MP != M:
+        x = jnp.pad(x, ((0, MP - M), (0, 0)))
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    o, h = pl.pallas_call(
+        functools.partial(_ffn_qh_kernel, act=act),
+        out_shape=[jax.ShapeDtypeStruct((MP, C), x.dtype),
+                   jax.ShapeDtypeStruct((MP, dA), x.dtype)],
+        grid=(MP // TT,),
+        in_specs=[pl.BlockSpec((TT, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + [wspec] * 10,
+        out_specs=[pl.BlockSpec((TT, C), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((TT, dA), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2, wd, bd)
+    return o[:M], h[:M]
+
+
+def ffn_qh_megakernel(mlp_p, ln, adapter_p, x, act: str = "gelu",
+                      keys: Tuple[str, str] = ("fc1", "fc2")):
+    """Fused LN+FFN (int8) that ALSO emits the bottleneck-adapter hidden
+    gelu(fc1_adapter(ffn_out)) — one HBM pass instead of the XLA adapter
+    re-reading the full-width FFN output. Returns (ffn_out, hidden)."""
+    shape = x.shape
+    flat = x.reshape(-1, shape[-1])
+    f1, f2 = keys
+    o, h = _ffn_qh_pallas(flat, ln["scale"], ln["bias"],
+                          mlp_p[f1]["kernel_q"], mlp_p[f1]["kernel_s"],
+                          mlp_p[f1]["bias"],
+                          mlp_p[f2]["kernel_q"], mlp_p[f2]["kernel_s"],
+                          mlp_p[f2]["bias"],
+                          adapter_p["D_fc1"]["kernel"],
+                          adapter_p["D_fc1"]["bias"], act)
+    dA = h.shape[-1]
+    return o.reshape(shape), h.reshape(shape[:-1] + (dA,))
 
 
 # ---------------------------------------------------------------------------
