@@ -90,6 +90,28 @@ def _pnorm(e):
     return e * pl.reciprocal(s, approx=True)
 
 
+def _softmax_exp(x):
+    """Softmax numerator exp on max-subtracted logits (x <= 0). Default
+    jnp.exp; STGCMA_FAST_EXP=1 swaps in an exp2-bitcast approximation
+    (floor-split exponent + quadratic 2^frac, ~2e-3 rel). Measured NEGATIVE
+    on v5e (CLIP-B/16 int8 B=8: 232.8 vs 251.7 clips/s — BENCH_NOTES round
+    4): Mosaic's native exp lowering beats the 9-op bitcast sequence, i.e.
+    softmax exp is NOT a reducible VPU term on this hardware. Kept as the
+    documented probe; never enable in production."""
+    if os.environ.get("STGCMA_FAST_EXP") != "1":
+        return jnp.exp(x)
+    t = x * np.float32(1.4426950408889634)          # exp2 domain
+    t = jnp.maximum(t, np.float32(-125.0))          # clamp: keep 2^i normal
+    i = jnp.floor(t)
+    f = t - i                                       # [0, 1)
+    # quadratic 2^f with exact endpoints (f=0 -> 1, f->1 -> 2): max rel err
+    # ~2e-3 on [0,1)
+    p = 1.0 + f * (np.float32(0.6565) + f * np.float32(0.3435))
+    two_i = jax.lax.bitcast_convert_type(
+        (i.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return two_i * p
+
+
 def _winblock_tile_bytes() -> int:
     """x-tile byte budget for the windowed block megakernels
     (STGCMA_WINBLOCK_TILE_MB, default 1)."""
@@ -1307,7 +1329,7 @@ def _win_block_q_core(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                                      preferred_element_type=jnp.float32)
         logits = logits.reshape(TW // nWb, nWb, N, N) + bm_ref[:, h][None]
         m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
+        e = _softmax_exp(logits - m)
         p = _pnorm(e).reshape(TW, N, N)
         oh = jax.lax.dot_general(p.astype(jnp.bfloat16), v,
                                  (((2,), (1,)), ((0,), (0,))),
