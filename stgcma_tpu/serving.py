@@ -106,16 +106,25 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 
 @dataclasses.dataclass
 class StreamRequest:
-    """One serving request: a clip's audio file + decoded frames.
+    """One serving request: a clip's audio file + frames.
 
-    frames: (T, H, W, 3) uint8 (decode JPEG on the client/edge tier);
+    Frames come in ONE of two forms:
+      - frames: (T, H, W, 3) uint8 (already decoded on a client/edge tier);
+      - frame_paths: T jpg/png paths, decoded server-side by HostDecoder's
+        native multithreaded decoder (native/stgcma_host.cc) at the
+        decoder's staging geometry — the full raw-bytes-to-logits ingest
+        path. When a frame's native size equals the staging size the decode
+        is bit-exact vs PIL; otherwise the host applies a PIL-parity
+        antialiased bilinear resize (the TPU pipeline still performs the
+        protocol resize/crop from the staged frames).
     extras: per-task tensors merged into the model batch (e.g. AVQA
     'question' token ids)."""
     task: str
     wav_path: str
-    frames: np.ndarray
+    frames: Optional[np.ndarray] = None
     extras: Optional[Dict[str, np.ndarray]] = None
     rid: int = 0
+    frame_paths: Optional[Sequence[str]] = None
 
 
 class HostDecoder:
@@ -123,10 +132,11 @@ class HostDecoder:
     (B, num_segments, seg_samples) float32 segment tensors + packed frames."""
 
     def __init__(self, num_segments: int = 10, seg_samples: int = 16000,
-                 num_threads: int = 8):
+                 num_threads: int = 8, frame_hw: Tuple[int, int] = (256, 256)):
         self.num_segments = num_segments
         self.seg_samples = seg_samples
         self.num_threads = num_threads
+        self.frame_hw = frame_hw    # staging geometry for frame_paths decode
         from .data import native_io
         self._native = native_io.available()
 
@@ -148,6 +158,41 @@ class HostDecoder:
                 out[i, s, :len(seg)] = seg
         return out
 
+    def _decode_frames(self, reqs: Sequence[StreamRequest]) -> np.ndarray:
+        """Per-request frames: pass through pre-decoded arrays, batch-decode
+        jpg/png paths natively (PIL fallback) at the staging geometry."""
+        from .data import native_io
+        H, W = self.frame_hw
+        path_reqs = [r for r in reqs if r.frame_paths is not None]
+        decoded: Dict[int, np.ndarray] = {}
+        if path_reqs:
+            flat = [p for r in path_reqs for p in r.frame_paths]
+            if native_io.image_available():
+                imgs, _ok = native_io.decode_image_batch(
+                    flat, H, W, num_threads=self.num_threads)
+            else:
+                from PIL import Image
+                imgs = np.zeros((len(flat), H, W, 3), np.uint8)
+                for i, p in enumerate(flat):
+                    with Image.open(p) as im:
+                        imgs[i] = np.asarray(
+                            im.convert("RGB").resize((W, H), Image.BILINEAR),
+                            np.uint8)
+            ofs = 0
+            for r in path_reqs:
+                decoded[id(r)] = imgs[ofs:ofs + len(r.frame_paths)]
+                ofs += len(r.frame_paths)
+        out = []
+        for r in reqs:
+            if r.frame_paths is not None:
+                out.append(decoded[id(r)])
+            elif r.frames is not None:
+                out.append(r.frames)
+            else:
+                raise ValueError(
+                    f"request rid={r.rid}: neither frames nor frame_paths set")
+        return np.stack(out)
+
     def __call__(self, reqs: Sequence[StreamRequest]) -> Dict[str, np.ndarray]:
         paths = [r.wav_path for r in reqs]
         if self._native:
@@ -158,7 +203,7 @@ class HostDecoder:
         else:
             wave = self._decode_python(paths)
         batch = {"wave": wave,
-                 "frames": np.stack([r.frames for r in reqs])}
+                 "frames": self._decode_frames(reqs)}
         extras = [r.extras for r in reqs if r.extras]
         if extras:
             if len(extras) != len(reqs) or any(

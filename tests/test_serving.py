@@ -117,3 +117,64 @@ def test_host_decoder_rejects_heterogeneous_extras():
                           extras={"question": q}) for i in range(2)]
     batch = dec(reqs)
     assert batch["question"].shape == (2, 14)
+
+
+def test_serve_stream_from_frame_paths():
+    """Full raw-bytes-to-logits ingest: requests carry jpg PATHS (+ wav
+    paths); HostDecoder's native image decoder stages them at frame_hw and
+    the device pipeline/model run from there. Mixed micro-batches
+    (pre-decoded frames + frame_paths) stack as long as the pre-decoded
+    frames match the staging geometry."""
+    import os
+    from stgcma_tpu.data.loader import make_ave_device_pipeline
+    from stgcma_tpu.ops.fbank import FbankConfig
+    from stgcma_tpu.serving import HostDecoder, StreamRequest, serve_stream
+
+    cfg = swin_tiny_test(ftmode="fusion", num_frames=2)
+    srv = MultiTaskServer(dtype=jnp.float32)
+    srv.add_ave("ave29", cfg, ave.init_swin_ave(jax.random.PRNGKey(0), cfg))
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "ave")
+    wav = os.path.join(fdir, "raw_audio",
+                       sorted(os.listdir(os.path.join(fdir, "raw_audio")))[0])
+    jdir = os.path.join(fdir, "video_frames", "fx_e5f6")
+    jpgs = [os.path.join(jdir, f) for f in sorted(os.listdir(jdir))[:2]]
+
+    rng = np.random.RandomState(0)
+    reqs = [
+        StreamRequest(task="ave29", wav_path=wav, frame_paths=jpgs, rid=0),
+        StreamRequest(task="ave29", wav_path=wav, rid=1,
+                      frames=rng.randint(0, 255, (2, 64, 64, 3),
+                                         dtype=np.uint8)),
+        StreamRequest(task="ave29", wav_path=wav, frame_paths=jpgs, rid=2),
+    ]
+
+    fb = FbankConfig(num_mel_bins=cfg.img_size)
+    pipe = make_ave_device_pipeline(fbank_cfg=fb, target_length=cfg.img_size,
+                                    image_size=cfg.img_size)
+
+    def ave_pipeline(host):
+        a, v = pipe({"frames": host["frames"], "wave": host["wave"]})
+        return {"a": a, "v": v}
+
+    dec = HostDecoder(num_segments=2, seg_samples=16000, frame_hw=(64, 64))
+    outs = list(serve_stream(srv, {"ave29": ave_pipeline}, reqs,
+                             batch_size=2, decoder=dec))
+    got = {}
+    for rids, logits in outs:
+        for j, rid in enumerate(rids):
+            got[rid] = logits[j * cfg.num_frames:(j + 1) * cfg.num_frames]
+    assert sorted(got) == [0, 1, 2]
+    for rid in got:
+        assert np.isfinite(got[rid]).all()
+    # rid 0 and rid 2 decoded the same files -> identical logits
+    np.testing.assert_allclose(got[0], got[2], rtol=0, atol=1e-5)
+
+
+def test_stream_request_requires_frames_or_paths():
+    from stgcma_tpu.serving import HostDecoder, StreamRequest
+    import pytest as _pytest
+    dec = HostDecoder(num_segments=2, seg_samples=16000, frame_hw=(16, 16))
+    req = StreamRequest(task="ave29", wav_path="/nonexistent.wav", rid=7)
+    with _pytest.raises(ValueError, match="rid=7"):
+        dec([req])
