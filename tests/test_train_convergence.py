@@ -114,7 +114,12 @@ def test_avqa_overfit_to_zero_loss(tmp_path):
     hp["fc3"] = linear_torch_default_init(ks[4], 256, 128)
     hp["fc4"] = linear_torch_default_init(ks[5], 128, 2)
     rng = np.random.default_rng(2)
-    B, T, S = 2, cfg.num_frames, cfg.img_size
+    # B=1: the match head still trains on a genuine posi/nega pair (the nega
+    # stream supplies the 0-label row), while the qa CE avoids the B=2
+    # pathology where the model parks at ln(2) splitting probability across
+    # the two samples' answers — a chaotic symmetry-breaking regime that
+    # escapes (or not) unpredictably within any fixed step budget.
+    B, T, S = 1, cfg.num_frames, cfg.img_size
     batch = {
         "a": jnp.asarray(rng.standard_normal((B, T, S, S)), jnp.float32),
         "v": jnp.asarray(rng.standard_normal((B, T, S, S, 3)), jnp.float32),
@@ -129,13 +134,10 @@ def test_avqa_overfit_to_zero_loss(tmp_path):
         total, aux = losses.avqa_loss(out_qa, m_pos, m_neg, b["answer"])
         return total, aux
 
-    # the match CE collapses in ~25 steps; the qa CE first parks at ln(2)
-    # (probability split across the two samples' answers) and needs ~250
-    # SUSTAINED-lr steps to break the symmetry (measured: converges by step
-    # 250 at constant 5e-3, but not within 300 under the cosine decay to
-    # lr/2) — min_lr=lr makes the cosine table flat
-    ls, _ = _fit(params, loss_fn, batch, tmp_path, n_epochs=350, lr=5e-3,
+    # min_lr=lr keeps the cosine table flat (measured: converges to 0.0 by
+    # step ~30 at constant 5e-3)
+    ls, _ = _fit(params, loss_fn, batch, tmp_path, n_epochs=60, lr=5e-3,
                  min_lr=5e-3)
     assert ls[0] > 2.0, f"initial qa CE should be near ln(42): {ls[0]}"
     # combined loss: qa CE -> 0 and match CE -> 0 jointly
-    assert min(ls) < 0.1, f"AVQA did not overfit: {ls[::15]}"
+    assert min(ls) < 0.05, f"AVQA did not overfit: {ls[::5]}"
