@@ -68,12 +68,16 @@ def _attention(p, x, heads: int):
     return mha(p["attn"], x, x, x, heads)
 
 
-def _attn_ln(p, x, heads: int):
+def _attn_ln(p, x, heads: int, n_real: int = None):
     """ln_1 + self-attention, LN fused into the kernel on TPU (the kernel
-    routes to the int8 W8A8 variant when the tower is quantized)."""
+    routes to the int8 W8A8 variant when the tower is quantized). n_real:
+    real token count under the resident-pad layout (padded keys masked)."""
     from ..ops.pallas_attn import clip_temporal_megakernel, fused_attention_enabled
     if fused_attention_enabled() and heads <= 16:
-        return clip_temporal_megakernel(p["attn"], p["ln_1"], x, heads)
+        return clip_temporal_megakernel(p["attn"], p["ln_1"], x, heads,
+                                        n_real=n_real)
+    assert n_real is None or n_real == x.shape[1], \
+        "resident-pad layout requires the fused attention kernels"
     return _attention(p, layernorm(p["ln_1"], x), heads)
 
 
@@ -164,22 +168,31 @@ def _t_adapt(p, x, heads: int, T: int, adapter_key: str):
     return xt.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(BT, N, C)
 
 
+def _n_real(x, cfg: ClipConfig, sfx: str):
+    """Real token count for a stream under the resident-pad layout, or None
+    when the stream is unpadded (see ops.pallas_attn.resident_pad_enabled)."""
+    real = (cfg.num_patches_audio if sfx else cfg.num_patches) + 1
+    return real if x.shape[1] > real else None
+
+
 def _single(p, x, cfg: ClipConfig, sfx: str):
     """video_adapt / audio_adapt (CLIP_AVE.py:128-143, 160-174)."""
     from ..ops.pallas_attn import fused_attention_enabled
     h = cfg.heads
+    nr = _n_real(x, cfg, sfx)
     x = _t_adapt(p, x, h, cfg.num_frames, "T_Adapter" + sfx)
     if _qfuse_adapters(p) and fused_attention_enabled() and h <= 16:
         from ..ops.pallas_attn import clip_attn_megakernel_h, ffn_qh_megakernel
         xs, xs_h = clip_attn_megakernel_h(p["attn"], p["ln_1"],
                                           p["S_Adapter" + sfx], x, h,
-                                          emit_o=True)
+                                          emit_o=True, n_real=nr)
         x = x + xs + adapter_out(p["S_Adapter" + sfx], xs_h)
         xn, xn_h = ffn_qh_megakernel(p["mlp"], p["ln_2"],
                                      p["MLP_Adapter" + sfx], x,
                                      act="quick_gelu", keys=("c_fc", "c_proj"))
         return x + xn + adapter_out(p["MLP_Adapter" + sfx], xn_h)
-    x = x + adapter_apply(p["S_Adapter" + sfx], _attn_ln(p, x, h), skip=True)
+    x = x + adapter_apply(p["S_Adapter" + sfx], _attn_ln(p, x, h, nr),
+                          skip=True)
     xn = _ffn_clip(p, x)
     return x + xn + adapter_apply(p["MLP_Adapter" + sfx], xn, skip=False)
 
@@ -187,15 +200,18 @@ def _single(p, x, cfg: ClipConfig, sfx: str):
 def _fusion(p, v, a, cfg: ClipConfig):
     """fusion_adapt — token-level STG-CMA (CLIP_AVE.py:359-430)."""
     h = cfg.heads
+    nv, na = _n_real(v, cfg, ""), _n_real(a, cfg, "_Audio")
     v = _t_adapt(p, v, h, cfg.num_frames, "T_Adapter")
     a = _t_adapt(p, a, h, cfg.num_frames, "T_Adapter_Audio")
 
     import os
     from ..ops.pallas_attn import fused_attention_enabled
     if fused_attention_enabled() and h <= 16 and jax.default_backend() != "cpu" \
-            and os.environ.get("STGCMA_CLIP_WHOLE_BLOCK", "0") == "1":
+            and os.environ.get("STGCMA_CLIP_WHOLE_BLOCK", "0") == "1" \
+            and nv is None and na is None:
         # whole-block megakernel: spatial attn + dual STG-CMA fusion + FFN
-        # in one VMEM pass (ops/pallas_clip_block.py)
+        # in one VMEM pass (ops/pallas_clip_block.py); does its own padding,
+        # so it opts out of the resident-pad layout
         from ..ops.pallas_clip_block import clip_fusion_spatial_block
         return clip_fusion_spatial_block(p, v, a, h)
 
@@ -206,16 +222,18 @@ def _fusion(p, v, a, cfg: ClipConfig):
         # (VERDICT r3 #1a).
         from ..ops.pallas_attn import clip_attn_megakernel_h, ffn_qh_megakernel
         vs, vs_h = clip_attn_megakernel_h(p["attn"], p["ln_1"],
-                                          p["S_Adapter"], v, h, emit_o=True)
+                                          p["S_Adapter"], v, h, emit_o=True,
+                                          n_real=nv)
         a_s, as_h = clip_attn_megakernel_h(p["attn"], p["ln_1"],
                                            p["S_Adapter_Audio"], a, h,
-                                           emit_o=True)
+                                           emit_o=True, n_real=na)
     else:
-        vs = _attn_ln(p, v, h)
-        a_s = _attn_ln(p, a, h)
+        vs = _attn_ln(p, v, h, nv)
+        a_s = _attn_ln(p, a, h, na)
         vs_h = adapter_hidden(p["S_Adapter"], vs)
         as_h = adapter_hidden(p["S_Adapter_Audio"], a_s)
-    vs_h, as_h = cross_modal_fuse(vs_h, as_h, p["gate_v"], p["gate_a"])
+    vs_h, as_h = cross_modal_fuse(vs_h, as_h, p["gate_v"], p["gate_a"],
+                                  nv_real=nv, na_real=na)
     v = v + vs + adapter_out(p["S_Adapter"], vs_h)
     a = a + a_s + adapter_out(p["S_Adapter_Audio"], as_h)
 
@@ -231,7 +249,8 @@ def _fusion(p, v, a, cfg: ClipConfig):
         an = _ffn_clip(p, a)
         vn_h = adapter_hidden(p["MLP_Adapter"], vn)
         an_h = adapter_hidden(p["MLP_Adapter_Audio"], an)
-    vn_h, an_h = cross_modal_fuse(vn_h, an_h, p["gate_v"], p["gate_a"])
+    vn_h, an_h = cross_modal_fuse(vn_h, an_h, p["gate_v"], p["gate_a"],
+                                  nv_real=nv, na_real=na)
     v = v + vn + adapter_out(p["MLP_Adapter"], vn_h)
     a = a + an + adapter_out(p["MLP_Adapter_Audio"], an_h)
     return v, a
@@ -344,6 +363,25 @@ def _run_resblocks(params, cfg: ClipConfig, x, mode: str):
     return x
 
 
+def _maybe_resident_pad(x):
+    """Resident-pad layout (STGCMA_RESIDENT_PAD=1): pad the token axis to the
+    16-multiple the spatial kernel would re-pad to on EVERY call (prime
+    N=197 -> 208), ONCE, right after embed. Dead tokens are masked out of all
+    softmax keys downstream (n_real threading), the class token (index 0) is
+    untouched, and _ln_post_cls reads index 0 only — so outputs are
+    bit-identical while the per-block pad/slice HBM copies and the prime-row
+    FFN/temporal pad fallbacks disappear (~2 ms/iter of the round-4 int8
+    trace, BENCH_NOTES)."""
+    from ..ops.pallas_attn import fused_attention_enabled, resident_pad_enabled
+    if not (resident_pad_enabled() and fused_attention_enabled()):
+        return x
+    N = x.shape[1]
+    NP = -(-N // 16) * 16
+    if NP != N:
+        x = jnp.pad(x, ((0, 0), (0, NP - N), (0, 0)))
+    return x
+
+
 def _ln_post_cls(params, x):
     """ln_post on the class token only. LayerNorm normalizes each token
     independently, so layernorm(x)[:, 0] == layernorm(x[:, 0]) exactly — the
@@ -361,7 +399,8 @@ def clip_backbone_apply(params, cfg: ClipConfig, a=None, v=None):
     mode = _MODE[cfg.ftmode]
     out: Dict[str, Any] = {}
     if cfg.ftmode == "videoonly":
-        x = _embed(params, v, "conv1", "positional_embedding", cfg)
+        x = _maybe_resident_pad(
+            _embed(params, v, "conv1", "positional_embedding", cfg))
         x = _run_resblocks(params, cfg, x, mode)
         out["v"] = _ln_post_cls(params, x)
         return out
@@ -370,7 +409,8 @@ def clip_backbone_apply(params, cfg: ClipConfig, a=None, v=None):
         x = _run_resblocks(params, cfg, x, mode)
         out["a"] = _ln_post_cls(params, x)
         return out
-    vt = _embed(params, v, "conv1", "positional_embedding", cfg)
+    vt = _maybe_resident_pad(
+        _embed(params, v, "conv1", "positional_embedding", cfg))
     at = _embed(params, a[..., None], "conv1_audio", "positional_embedding_audio", cfg)
     x = (vt, at)
     x = _run_resblocks(params, cfg, x, mode)

@@ -84,18 +84,34 @@ def temporal_attention(p, x, num_heads: int, t_index, signal: str = "video"):
     return qkv_attention(p, x, num_heads, bias=bias)
 
 
-def cross_modal_fuse(v_hidden, a_hidden, gate_v, gate_a):
+def cross_modal_fuse(v_hidden, a_hidden, gate_v, gate_a,
+                     nv_real: int = None, na_real: int = None):
     """STG-CMA core: bidirectional cross-modal attention over adapter hidden states,
     merged through zero-init scalar gates (Swin_AVE.py:747-763).
 
     v_hidden: (B, Nv, d); a_hidden: (B, Na, d). Returns updated (v_hidden, a_hidden).
+
+    nv_real/na_real: real token counts when a stream carries a resident
+    trailing pad (CLIP resident-pad layout). Padded KEYS are masked out of
+    the opposite stream's softmax (exp(-1e30)=0, so real-query outputs are
+    bit-identical to the unpadded math); padded QUERY rows produce bounded
+    garbage that stays in the dead rows.
     """
     dt = v_hidden.dtype
     logits_va = jnp.einsum("bnd,bmd->bnm", v_hidden, a_hidden,
                            preferred_element_type=jnp.float32)
-    attn_vs = jax.nn.softmax(logits_va, axis=-1).astype(dt)          # [B, Nv, Na]
+    Nv, Na = v_hidden.shape[1], a_hidden.shape[1]
+    l_va = logits_va
+    if na_real is not None and na_real < Na:   # mask padded a keys
+        l_va = jnp.where(jnp.arange(Na)[None, None, :] >= na_real,
+                         jnp.float32(-1e30), l_va)
+    attn_vs = jax.nn.softmax(l_va, axis=-1).astype(dt)               # [B, Nv, Na]
     a2v = jnp.einsum("bnm,bmd->bnd", attn_vs, a_hidden)
-    attn_as = jax.nn.softmax(logits_va.transpose(0, 2, 1), axis=-1).astype(dt)
+    l_av = logits_va.transpose(0, 2, 1)
+    if nv_real is not None and nv_real < Nv:   # mask padded v keys
+        l_av = jnp.where(jnp.arange(Nv)[None, None, :] >= nv_real,
+                         jnp.float32(-1e30), l_av)
+    attn_as = jax.nn.softmax(l_av, axis=-1).astype(dt)
     v2a = jnp.einsum("bmn,bnd->bmd", attn_as, v_hidden)
     v_out = v_hidden + gate_v.astype(dt) * a2v
     a_out = a_hidden + gate_a.astype(dt) * v2a

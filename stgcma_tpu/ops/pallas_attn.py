@@ -826,13 +826,31 @@ def ffn_megakernel(mlp_p, ln, x, act: str = "gelu",
     return out.reshape(shape)
 
 
-def clip_temporal_megakernel(attn_p, ln, x, num_heads: int):
+def resident_pad_enabled() -> bool:
+    """STGCMA_RESIDENT_PAD=1: the CLIP video token stream stays padded to a
+    16-multiple ACROSS all resblocks (padded once after embed) instead of the
+    spatial kernel re-padding 197->208 per call — the prime-197 pad/slice HBM
+    copies in the round-4 trace (~2 ms/iter, BENCH_NOTES). Real-token outputs
+    are bit-identical: the kernel already computes over the padded grid with
+    -1e30 key masks; this only hoists the pad out of the per-block calls.
+    Read at trace time."""
+    import os
+    return os.environ.get("STGCMA_RESIDENT_PAD", "0") == "1"
+
+
+def clip_temporal_megakernel(attn_p, ln, x, num_heads: int,
+                             n_real: int = None):
     """CLIP temporal-axis self-attention fused: LN + packed in_proj + attention
     + out_proj in one VMEM pass (drop-in for
-    mha(attn_p, LN(x), ...) over the T<=16 frame axis). x: (B*N, T, C)."""
+    mha(attn_p, LN(x), ...) over the T<=16 frame axis). x: (B*N, T, C).
+
+    Also serves the SPATIAL token axis (T = token count > 16). n_real < T
+    marks trailing resident-pad tokens: they are masked out of the softmax
+    keys exactly like the internal pad below, so passing a pre-padded x with
+    n_real set skips the per-call pad/slice without changing any output."""
     B_, T, C = x.shape
     quantized = "kernel_q" in attn_p["in_proj"]
-    if T <= 16 and (8 * T) % 16 == 0:
+    if T <= 16 and (8 * T) % 16 == 0 and (n_real is None or n_real == T):
         # pack-without-pad: 8 rows of T tokens make one 8T-token group that is
         # already sublane-aligned (e.g. T=10 -> 80 = 5x16), so the T->16 HBM
         # pad (1.6x wasted qkv/proj tokens + pad/slice copies) is skipped
@@ -860,9 +878,11 @@ def clip_temporal_megakernel(attn_p, ln, x, num_heads: int):
                                 num_heads)
         return out.reshape(RP, T, C)[:B_]
     TP = _round_up(T, 16)
+    nr = T if n_real is None else n_real
     bm = np.zeros((1, num_heads, TP, TP), np.float32)
+    if nr != TP:
+        bm[..., nr:] = -1e30
     if TP != T:
-        bm[..., T:] = -1e30
         x = jnp.pad(x, ((0, 0), (0, TP - T), (0, 0)))
     if quantized:                           # int8 serving mode
         out = _win_block_q_pallas(
@@ -879,7 +899,7 @@ def clip_temporal_megakernel(attn_p, ln, x, num_heads: int):
 
 
 def clip_attn_megakernel_h(attn_p, ln, adapter_p, x, num_heads: int,
-                           emit_o: bool):
+                           emit_o: bool, n_real: int = None):
     """int8-serving twin of clip_temporal_megakernel with the bottleneck
     adapter's down-projection + GELU fused in. emit_o=False returns only the
     hidden gelu(fc1_ad(attn_out)) (B_, T, dA) — the CLIP temporal site, where
@@ -892,7 +912,7 @@ def clip_attn_megakernel_h(attn_p, ln, adapter_p, x, num_heads: int,
     wd = adapter_p["D_fc1"]["kernel"]
     bd = adapter_p["D_fc1"]["bias"]
     dA = wd.shape[1]
-    if T <= 16 and (8 * T) % 16 == 0:
+    if T <= 16 and (8 * T) % 16 == 0 and (n_real is None or n_real == T):
         pack = 8
         RP = _round_up(B_, pack)
         if RP != B_:
@@ -910,9 +930,11 @@ def clip_attn_megakernel_h(attn_p, ln, adapter_p, x, num_heads: int,
                     res[1].reshape(RP, T, dA)[:B_])
         return res.reshape(RP, T, dA)[:B_]
     TP = _round_up(T, 16)
+    nr = T if n_real is None else n_real
     bm = np.zeros((1, num_heads, TP, TP), np.float32)
+    if nr != TP:
+        bm[..., nr:] = -1e30
     if TP != T:
-        bm[..., T:] = -1e30
         x = jnp.pad(x, ((0, 0), (0, TP - T), (0, 0)))
     res = _win_block_qad_pallas(x, ln["scale"], ln["bias"], qp, wd, bd,
                                 jnp.asarray(bm), num_heads, emit_o)
