@@ -54,7 +54,85 @@ def _timed_scan(fn, reps=6, n_small=2, n_large=12):
     return (timed(n_large) - timed(n_small)) / (n_large - n_small)
 
 
-def _bench_infer(model: str, B: int, int8: bool = False):
+# ---------------------------------------------------------------------------
+# background prep: every heavy bench stage is split into a PREP (build params
+# + AOT lower/compile its programs — host/relay work) and a MEASURE (the timed
+# device section). Preps run on daemon threads while earlier measures execute:
+# the relay's minutes-long cold compiles overlap instead of serializing, which
+# is what sank the round-3 artifact on fresh hosts (VERDICT r3 weak #2).
+#
+# Locking discipline:
+#   _DEVICE_LOCK  — any device-touching work inside a prep (param init, cast,
+#                   quantize) takes it so it can never perturb the main
+#                   thread's timed scans (which hold it for their duration).
+#   _TRACE_LOCK   — jit tracing reads process-global env knobs
+#                   (STGCMA_EXACT_SOFTMAX, STGCMA_FUSED_ATTN); all prep
+#                   lowers serialize under this lock so an env toggle in one
+#                   prep can never leak into another's trace. compile() — the
+#                   expensive relay call — happens OUTSIDE both locks.
+# Measures call the AOT-compiled executables directly (no retrace), so env
+# state at measure time is irrelevant.
+# ---------------------------------------------------------------------------
+import threading
+
+_DEVICE_LOCK = threading.Lock()
+_TRACE_LOCK = threading.Lock()
+
+
+def _aot(jit_fn, *args, env: dict = None):
+    """Trace+lower under the trace lock (optionally with env overrides held
+    only for the trace), then compile on the relay outside all locks.
+    Returns the compiled executable — call it with the DYNAMIC args only."""
+    with _TRACE_LOCK:
+        saved = {}
+        if env:
+            for k, v in env.items():
+                saved[k] = os.environ.get(k)
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        try:
+            lowered = jit_fn.lower(*args)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+    return lowered.compile()
+
+
+class _DaemonPool:
+    """Minimal ThreadPool with DAEMON workers: a wedged prep (relay hang)
+    must never block process exit — the bench's stdout JSON is the round
+    artifact and has to flush no matter what."""
+
+    def __init__(self, n: int):
+        import queue
+        self._q = queue.Queue()
+        for _ in range(n):
+            threading.Thread(target=self._worker, daemon=True).start()
+
+    def _worker(self):
+        while True:
+            fut, fn = self._q.get()
+            if fut.set_running_or_notify_cancel():
+                try:
+                    fut.set_result(fn())
+                except BaseException as e:  # noqa: BLE001 — surfaced via .result()
+                    fut.set_exception(e)
+
+    def submit(self, fn):
+        from concurrent.futures import Future
+        fut = Future()
+        self._q.put((fut, fn))
+        return fut
+
+
+def _build_infer(model: str, B: int, int8: bool = False):
+    """Params + inputs + the scanned forward for one flagship config.
+    Device-touching: call under _DEVICE_LOCK from prep threads."""
     import jax
     import jax.numpy as jnp
     from stgcma_tpu.configs import clip_b16, swin_base
@@ -103,8 +181,30 @@ def _bench_infer(model: str, B: int, int8: bool = False):
 
     a = jnp.asarray(rng.randn(*a_shape), jnp.bfloat16)
     v = jnp.asarray(rng.randn(*v_shape), jnp.bfloat16)
-    per_iter = _timed_scan(lambda n: fwd_many(params, a, v, n))
-    return B / per_iter
+    return fwd_many, params, a, v
+
+
+def _prep_infer(model: str, B: int, int8: bool = False,
+                n_small: int = 2, n_large: int = 12):
+    with _DEVICE_LOCK:
+        fwd_many, params, a, v = _build_infer(model, B, int8)
+    env = None
+    cs = _aot(fwd_many, params, a, v, n_small, env=env)
+    cl = _aot(fwd_many, params, a, v, n_large, env=env)
+    return {"compiled": {n_small: cs, n_large: cl}, "args": (params, a, v),
+            "B": B, "n": (n_small, n_large)}
+
+
+def _measure_infer(ctx, reps: int = 6):
+    ns, nl = ctx["n"]
+    per_iter = _timed_scan(lambda n: ctx["compiled"][n](*ctx["args"]),
+                           reps=reps, n_small=ns, n_large=nl)
+    return ctx["B"] / per_iter
+
+
+def _bench_infer(model: str, B: int, int8: bool = False):
+    """Single-call form (scripts/, ad-hoc probes): prep + measure inline."""
+    return _measure_infer(_prep_infer(model, B, int8))
 
 
 def _int8_fidelity(model: str, B: int):
@@ -120,36 +220,37 @@ def _int8_fidelity(model: str, B: int):
     from stgcma_tpu.ops.quant import quantize_clip_tower, quantize_swin_tower
 
     rng = np.random.RandomState(7)
-    if model.startswith("swin"):
-        cfg = swin_base(ftmode="fusion", label_dim=29)
-        params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
-        apply_fn, qf = ave.apply_swin_ave, quantize_swin_tower
-        a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
-        v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
-    else:
-        cfg = clip_b16(ftmode="fusion", label_dim=29)
-        params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
-        apply_fn, qf = ave.apply_clip_ave, quantize_clip_tower
-        a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
-        v_shape = (B, cfg.num_frames, cfg.input_resolution,
-                   cfg.input_resolution, 3)
-    keys = iter(jax.random.split(jax.random.PRNGKey(11), 4096))
-    params = jax.tree_util.tree_map(
-        lambda x: jax.random.normal(next(keys), x.shape, jnp.float32) * 0.05
-        if hasattr(x, "ndim") and x.ndim >= 1 else x, params)
-    a = jnp.asarray(rng.randn(*a_shape), jnp.float32)
-    v = jnp.asarray(rng.randn(*v_shape), jnp.float32)
-
     from stgcma_tpu.ops.common import cast_tree
-    p16 = cast_tree(params, jnp.bfloat16)
-    ref = np.asarray(jax.jit(lambda p: apply_fn(p, cfg, a.astype(jnp.bfloat16),
-                                                v.astype(jnp.bfloat16)))(p16),
-                     np.float32)
-    pq = dict(p16)
-    pq["backbone"] = qf(params["backbone"])
-    out = np.asarray(jax.jit(lambda p: apply_fn(p, cfg, a.astype(jnp.bfloat16),
-                                                v.astype(jnp.bfloat16)))(pq),
-                     np.float32)
+    with _DEVICE_LOCK:
+        if model.startswith("swin"):
+            cfg = swin_base(ftmode="fusion", label_dim=29)
+            params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
+            apply_fn, qf = ave.apply_swin_ave, quantize_swin_tower
+            a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
+            v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
+        else:
+            cfg = clip_b16(ftmode="fusion", label_dim=29)
+            params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
+            apply_fn, qf = ave.apply_clip_ave, quantize_clip_tower
+            a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
+            v_shape = (B, cfg.num_frames, cfg.input_resolution,
+                       cfg.input_resolution, 3)
+        keys = iter(jax.random.split(jax.random.PRNGKey(11), 4096))
+        params = jax.tree_util.tree_map(
+            lambda x: jax.random.normal(next(keys), x.shape, jnp.float32) * 0.05
+            if hasattr(x, "ndim") and x.ndim >= 1 else x, params)
+        a = jnp.asarray(rng.randn(*a_shape), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(*v_shape), jnp.bfloat16)
+        p16 = cast_tree(params, jnp.bfloat16)
+        pq = dict(p16)
+        pq["backbone"] = qf(params["backbone"])
+
+    f = jax.jit(lambda p, a, v: apply_fn(p, cfg, a, v))
+    c16 = _aot(f, p16, a, v)
+    cq = _aot(f, pq, a, v)
+    with _DEVICE_LOCK:          # execute (not a timing — lock is courtesy)
+        ref = np.asarray(c16(p16, a, v), np.float32)
+        out = np.asarray(cq(pq, a, v), np.float32)
     rel = float(np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6))
     agree = float((out.reshape(-1, out.shape[-1]).argmax(-1) ==
                    ref.reshape(-1, ref.shape[-1]).argmax(-1)).mean())
@@ -169,52 +270,49 @@ def _softmax_fidelity(model: str, B: int):
     from stgcma_tpu.ops.common import cast_tree
 
     rng = np.random.RandomState(7)
-    if model.startswith("swin"):
-        cfg = swin_base(ftmode="fusion", label_dim=29)
-        params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
-        apply_fn = ave.apply_swin_ave
-        a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
-        v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
-    else:
-        cfg = clip_b16(ftmode="fusion", label_dim=29)
-        params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
-        apply_fn = ave.apply_clip_ave
-        a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
-        v_shape = (B, cfg.num_frames, cfg.input_resolution,
-                   cfg.input_resolution, 3)
-    keys = iter(jax.random.split(jax.random.PRNGKey(11), 4096))
-    params = jax.tree_util.tree_map(
-        lambda x: jax.random.normal(next(keys), x.shape, jnp.float32) * 0.05
-        if hasattr(x, "ndim") and x.ndim >= 1 else x, params)
-    p16 = cast_tree(params, jnp.bfloat16)
-    a = jnp.asarray(rng.randn(*a_shape), jnp.bfloat16)
-    v = jnp.asarray(rng.randn(*v_shape), jnp.bfloat16)
-
-    def run():
-        # env is read at TRACE time inside the kernels — fresh jit per setting
-        return np.asarray(jax.jit(
-            lambda p: apply_fn(p, cfg, a, v))(p16), np.float32)
-
-    old = os.environ.get("STGCMA_EXACT_SOFTMAX")
-    try:
-        os.environ["STGCMA_EXACT_SOFTMAX"] = "1"
-        exact = run()
-        os.environ["STGCMA_EXACT_SOFTMAX"] = "0"
-        approx = run()
-    finally:
-        if old is None:
-            os.environ.pop("STGCMA_EXACT_SOFTMAX", None)
+    with _DEVICE_LOCK:
+        if model.startswith("swin"):
+            cfg = swin_base(ftmode="fusion", label_dim=29)
+            params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
+            apply_fn = ave.apply_swin_ave
+            a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
+            v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
         else:
-            os.environ["STGCMA_EXACT_SOFTMAX"] = old
+            cfg = clip_b16(ftmode="fusion", label_dim=29)
+            params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
+            apply_fn = ave.apply_clip_ave
+            a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
+            v_shape = (B, cfg.num_frames, cfg.input_resolution,
+                       cfg.input_resolution, 3)
+        keys = iter(jax.random.split(jax.random.PRNGKey(11), 4096))
+        params = jax.tree_util.tree_map(
+            lambda x: jax.random.normal(next(keys), x.shape, jnp.float32) * 0.05
+            if hasattr(x, "ndim") and x.ndim >= 1 else x, params)
+        p16 = cast_tree(params, jnp.bfloat16)
+        a = jnp.asarray(rng.randn(*a_shape), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(*v_shape), jnp.bfloat16)
+
+    # env is read at TRACE time inside the kernels — _aot holds the trace
+    # lock while the override is set, so concurrent preps can't absorb it.
+    # Distinct wrapper fns: identical jit identity + args would otherwise
+    # dedupe to one program.
+    f_exact = jax.jit(lambda p, a, v: apply_fn(p, cfg, a, v))
+    f_approx = jax.jit(lambda p, a, v: apply_fn(p, cfg, a, v))
+    c_exact = _aot(f_exact, p16, a, v, env={"STGCMA_EXACT_SOFTMAX": "1"})
+    c_approx = _aot(f_approx, p16, a, v, env={"STGCMA_EXACT_SOFTMAX": "0"})
+    with _DEVICE_LOCK:
+        exact = np.asarray(c_exact(p16, a, v), np.float32)
+        approx = np.asarray(c_approx(p16, a, v), np.float32)
     rel = float(np.abs(approx - exact).max() / max(np.abs(exact).max(), 1e-6))
     agree = float((approx.reshape(-1, approx.shape[-1]).argmax(-1) ==
                    exact.reshape(-1, exact.shape[-1]).argmax(-1)).mean())
     return rel, agree
 
 
-def _bench_preprocess(B: int):
+def _prep_preprocess(B: int):
     """TPU-resident eval preprocess: uint8 frames + raw wave -> (a, v).
-    Reports input GB/s (the BASELINE.json 'fbank+frame preprocess' metric)."""
+    Reports input GB/s (the BASELINE.json 'fbank+frame preprocess' metric).
+    Prep half — measure with _measure_preprocess."""
     import jax
     import jax.numpy as jnp
     from stgcma_tpu.data import transforms
@@ -222,8 +320,9 @@ def _bench_preprocess(B: int):
 
     rng = np.random.RandomState(1)
     T, S, sr = 10, 256, 16000
-    frames = jnp.asarray(rng.randint(0, 255, (B, T, S, S, 3)), jnp.uint8)
-    wave = jnp.asarray(rng.randn(B, T, sr), jnp.float32)  # 1-s segments
+    with _DEVICE_LOCK:
+        frames = jnp.asarray(rng.randint(0, 255, (B, T, S, S, 3)), jnp.uint8)
+        wave = jnp.asarray(rng.randn(B, T, sr), jnp.float32)  # 1-s segments
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def pipe_many(frames, wave, n):
@@ -241,12 +340,17 @@ def _bench_preprocess(B: int):
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return acc
 
-    per_iter = _timed_scan(lambda n: pipe_many(frames, wave, n))
-    in_bytes = frames.size + wave.size * 4
-    return (in_bytes / per_iter) / 1e9, B / per_iter
+    compiled = {n: _aot(pipe_many, frames, wave, n) for n in (2, 12)}
+    return {"compiled": compiled, "args": (frames, wave),
+            "in_bytes": frames.size + wave.size * 4, "B": B}
 
 
-def _bench_serving_device(B: int = 2):
+def _measure_preprocess(ctx):
+    per_iter = _timed_scan(lambda n: ctx["compiled"][n](*ctx["args"]))
+    return (ctx["in_bytes"] / per_iter) / 1e9, ctx["B"] / per_iter
+
+
+def _prep_serving_device(B: int = 2):
     """Multi-task serving rate on PRE-STAGED device batches (VERDICT r2 #10):
     one Swin-Base frozen tower shared by AVE + AVQA + AVS heads
     (serving.share_frozen_tower buffer aliasing), one batch of each task
@@ -254,12 +358,12 @@ def _bench_serving_device(B: int = 2):
     3 streams, AVS T=5). Decoupled from the relay/host-decode transfer —
     this is the achievable aggregate dispatch rate of the multi-task server.
 
-    Each task is timed as its OWN jit program (round-robin dispatch is
-    serial anyway): the round-3 single-program formulation compiled all
-    three Swin task graphs in one XLA invocation and blew the bench budget
-    on fresh hosts (VERDICT r3 weak #2); three programs compile under their
-    own sub-budgets and land in the persistent cache independently.
-    Returns (clips_per_sec_aggregate, per_task_rates_dict)."""
+    Each task is timed as its OWN program (round-robin dispatch is serial
+    anyway); all six are AOT-compiled in this prep — the round-3
+    single-program formulation compiled all three Swin task graphs in one
+    XLA invocation and blew the bench budget on fresh hosts (VERDICT r3
+    weak #2). Measure with _measure_serving_device ->
+    (clips_per_sec_aggregate, per_task_rates_dict)."""
     import jax
     import jax.numpy as jnp
     from stgcma_tpu.configs import AVQAHeadConfig, AVSHeadConfig, swin_base
@@ -278,24 +382,25 @@ def _bench_serving_device(B: int = 2):
         stage_dims=tuple(cfg_avs.stage_dim(i) for i in range(4)),
         audio_dim=cfg_avs.num_features, num_frames=5)
 
-    p_ave = ave.init_swin_ave(jax.random.PRNGKey(0), cfg_ave)
-    p_avqa = avqa.init_avqa(jax.random.PRNGKey(1), cfg_avqa, h_avqa)
-    p_avs = avs.init_avs(jax.random.PRNGKey(2), cfg_avs, h_avs)
-    shared = share_frozen_tower(p_ave, {"avqa": p_avqa, "avs": p_avs})
-    p_ave = cast_tree(p_ave, jnp.bfloat16)
-    p_avqa = cast_tree(shared["avqa"], jnp.bfloat16)
-    p_avs = cast_tree(shared["avs"], jnp.bfloat16)
+    with _DEVICE_LOCK:
+        p_ave = ave.init_swin_ave(jax.random.PRNGKey(0), cfg_ave)
+        p_avqa = avqa.init_avqa(jax.random.PRNGKey(1), cfg_avqa, h_avqa)
+        p_avs = avs.init_avs(jax.random.PRNGKey(2), cfg_avs, h_avs)
+        shared = share_frozen_tower(p_ave, {"avqa": p_avqa, "avs": p_avs})
+        p_ave = cast_tree(p_ave, jnp.bfloat16)
+        p_avqa = cast_tree(shared["avqa"], jnp.bfloat16)
+        p_avs = cast_tree(shared["avs"], jnp.bfloat16)
 
-    S = cfg_ave.img_size
-    f16 = jnp.bfloat16
-    a_ave = jnp.asarray(rng.randn(B, 10, S, S), f16)
-    v_ave = jnp.asarray(rng.randn(B, 10, S, S, 3), f16)
-    a_q = jnp.asarray(rng.randn(B, 10, S, S), f16)
-    v_q = jnp.asarray(rng.randn(B, 10, S, S, 3), f16)
-    vn_q = jnp.asarray(rng.randn(B, 10, S, S, 3), f16)
-    q_ids = jnp.asarray(rng.randint(0, 93, (B, 14)), jnp.int32)
-    a_s = jnp.asarray(rng.randn(B, 5, S, S), f16)
-    v_s = jnp.asarray(rng.randn(B, 5, S, S, 3), f16)
+        S = cfg_ave.img_size
+        f16 = jnp.bfloat16
+        a_ave = jnp.asarray(rng.randn(B, 10, S, S), f16)
+        v_ave = jnp.asarray(rng.randn(B, 10, S, S, 3), f16)
+        a_q = jnp.asarray(rng.randn(B, 10, S, S), f16)
+        v_q = jnp.asarray(rng.randn(B, 10, S, S, 3), f16)
+        vn_q = jnp.asarray(rng.randn(B, 10, S, S, 3), f16)
+        q_ids = jnp.asarray(rng.randint(0, 93, (B, 14)), jnp.int32)
+        a_s = jnp.asarray(rng.randn(B, 5, S, S), f16)
+        v_s = jnp.asarray(rng.randn(B, 5, S, S, 3), f16)
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def serve_ave(p, a, v, n):
@@ -330,16 +435,25 @@ def _bench_serving_device(B: int = 2):
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return acc
 
-    t_ave = _timed_scan(lambda n: serve_ave(p_ave, a_ave, v_ave, n),
-                        reps=3, n_small=1, n_large=5)
-    t_avqa = _timed_scan(
-        lambda n: serve_avqa(p_avqa, a_q, v_q, vn_q, q_ids, n),
-        reps=3, n_small=1, n_large=5)
-    t_avs = _timed_scan(lambda n: serve_avs(p_avs, a_s, v_s, n),
-                        reps=3, n_small=1, n_large=5)
-    agg = 3 * B / (t_ave + t_avqa + t_avs)
-    rates = {"ave": round(B / t_ave, 2), "avqa": round(B / t_avqa, 2),
-             "avs": round(B / t_avs, 2)}
+    tasks = {
+        "ave": (serve_ave, (p_ave, a_ave, v_ave)),
+        "avqa": (serve_avqa, (p_avqa, a_q, v_q, vn_q, q_ids)),
+        "avs": (serve_avs, (p_avs, a_s, v_s)),
+    }
+    compiled = {}
+    for t, (fn, args) in tasks.items():
+        compiled[t] = ({n: _aot(fn, *args, n) for n in (1, 5)}, args)
+    return {"compiled": compiled, "B": B}
+
+
+def _measure_serving_device(ctx):
+    B = ctx["B"]
+    times = {}
+    for t, (by_n, args) in ctx["compiled"].items():
+        times[t] = _timed_scan(lambda n: by_n[n](*args),
+                               reps=3, n_small=1, n_large=5)
+    agg = 3 * B / sum(times.values())
+    rates = {t: round(B / dt, 2) for t, dt in times.items()}
     return agg, rates
 
 
@@ -391,8 +505,9 @@ def _bench_host_decode(n_imgs: int = 256, size: int = 256):
         return fps, gbs, float(ok.mean())
 
 
-def _bench_train(model: str, B: int):
-    """Steady-state full training step (fwd+bwd+Adam update), steps/sec."""
+def _prep_train(model: str, B: int):
+    """Steady-state full training step (fwd+bwd+Adam update), steps/sec.
+    Prep half — measure with _measure_train."""
     import jax
     import jax.numpy as jnp
     from stgcma_tpu.configs import clip_b16, swin_base
@@ -400,48 +515,50 @@ def _bench_train(model: str, B: int):
     from stgcma_tpu.train.losses import ave_loss
 
     rng = np.random.RandomState(2)
-    if model.startswith("swin"):
-        from stgcma_tpu.configs import swin_large
-        mk = swin_large if model == "swin-large" else swin_base
-        cfg = mk(ftmode="fusion", label_dim=29)
-        params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
-        apply_fn = ave.apply_swin_ave
-        a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
-        v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
-    else:
-        from stgcma_tpu.configs import clip_l14
-        mk = clip_l14 if model == "clip-l14" else clip_b16
-        cfg = mk(ftmode="fusion", label_dim=29)
-        if model == "clip-l14":
-            # the unrolled 24-block fwd+bwd HLO exceeds the compile relay's
-            # request-size limit (HTTP 413) — scan the resblocks instead.
-            # use_checkpoint remats each scanned block: without it the scan
-            # saves every block's intermediates for bwd and the L/14 dual
-            # stream OOMs v5e HBM (19.9G needed vs 15.75G)
-            import dataclasses
-            cfg = dataclasses.replace(cfg, scan_blocks=8, use_checkpoint=True)
-        params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
-        if model == "clip-l14":
-            # pre-stack block params so Adam/cast plumbing is one op per
-            # weight, not one per weight per block (~930 -> ~90 leaves)
-            from stgcma_tpu.nn.clip_vit import stack_resblocks
-            params = stack_resblocks(params)
-        apply_fn = ave.apply_clip_ave
-        a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
-        v_shape = (B, cfg.num_frames, cfg.input_resolution,
-                   cfg.input_resolution, 3)
+    with _DEVICE_LOCK:
+        if model.startswith("swin"):
+            from stgcma_tpu.configs import swin_large
+            mk = swin_large if model == "swin-large" else swin_base
+            cfg = mk(ftmode="fusion", label_dim=29)
+            params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
+            apply_fn = ave.apply_swin_ave
+            a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
+            v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
+        else:
+            from stgcma_tpu.configs import clip_l14
+            mk = clip_l14 if model == "clip-l14" else clip_b16
+            cfg = mk(ftmode="fusion", label_dim=29)
+            if model == "clip-l14":
+                # the unrolled 24-block fwd+bwd HLO exceeds the compile
+                # relay's request-size limit (HTTP 413) — scan the resblocks
+                # instead. use_checkpoint remats each scanned block: without
+                # it the scan saves every block's intermediates for bwd and
+                # the L/14 dual stream OOMs v5e HBM (19.9G vs 15.75G)
+                import dataclasses
+                cfg = dataclasses.replace(cfg, scan_blocks=8,
+                                          use_checkpoint=True)
+            params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
+            if model == "clip-l14":
+                # pre-stack block params so Adam/cast plumbing is one op per
+                # weight, not one per weight per block (~930 -> ~90 leaves)
+                from stgcma_tpu.nn.clip_vit import stack_resblocks
+                params = stack_resblocks(params)
+            apply_fn = ave.apply_clip_ave
+            a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
+            v_shape = (B, cfg.num_frames, cfg.input_resolution,
+                       cfg.input_resolution, 3)
 
-    labels = jnp.asarray(rng.rand(B, 10, 29) > 0.9, jnp.float32)
-    a = jnp.asarray(rng.randn(*a_shape), jnp.float32)
-    v = jnp.asarray(rng.randn(*v_shape), jnp.float32)
+        labels = jnp.asarray(rng.rand(B, 10, 29) > 0.9, jnp.float32)
+        a = jnp.asarray(rng.randn(*a_shape), jnp.float32)
+        v = jnp.asarray(rng.randn(*v_shape), jnp.float32)
 
-    from stgcma_tpu.train.optim import build_optimizer, merge_params
-    from stgcma_tpu.train.steps import init_train_state
-    tx = build_optimizer(params, base_lr=5e-4, head_lr_mult=10.0)
-    train_params, frozen_params, opt_state, _ = init_train_state(params, tx)
-    frozen_bf16 = jax.tree_util.tree_map(
-        lambda x: None if x is None else x.astype(jnp.bfloat16), frozen_params,
-        is_leaf=lambda x: x is None)
+        from stgcma_tpu.train.optim import build_optimizer, merge_params
+        from stgcma_tpu.train.steps import init_train_state
+        tx = build_optimizer(params, base_lr=5e-4, head_lr_mult=10.0)
+        train_params, frozen_params, opt_state, _ = init_train_state(params, tx)
+        frozen_bf16 = jax.tree_util.tree_map(
+            lambda x: None if x is None else x.astype(jnp.bfloat16),
+            frozen_params, is_leaf=lambda x: x is None)
 
     def loss_fn(tp, frozen16, a, v):
         tp16 = jax.tree_util.tree_map(
@@ -479,20 +596,21 @@ def _bench_train(model: str, B: int):
     # 3.4 MB kernel-free program — BENCH_NOTES); trace the train step on the
     # XLA path for that model only. The kernels' custom VJPs recompute the
     # naive path in bwd anyway, so this changes fwd fusion only.
-    saved = os.environ.get("STGCMA_FUSED_ATTN")
-    if model == "clip-l14":
-        os.environ["STGCMA_FUSED_ATTN"] = "0"
-    try:
-        fn = lambda n: train_many(train_params, frozen_bf16, opt_state,
-                                  (a, v), n)
-        per_iter = _timed_scan(fn, reps=3, n_small=1, n_large=5)
-    finally:
-        if model == "clip-l14":
-            if saved is None:
-                os.environ.pop("STGCMA_FUSED_ATTN", None)
-            else:
-                os.environ["STGCMA_FUSED_ATTN"] = saved
+    env = {"STGCMA_FUSED_ATTN": "0"} if model == "clip-l14" else None
+    args = (train_params, frozen_bf16, opt_state, (a, v))
+    compiled = {n: _aot(train_many, *args, n, env=env) for n in (1, 5)}
+    return {"compiled": compiled, "args": args}
+
+
+def _measure_train(ctx):
+    per_iter = _timed_scan(lambda n: ctx["compiled"][n](*ctx["args"]),
+                           reps=3, n_small=1, n_large=5)
     return 1.0 / per_iter
+
+
+def _bench_train(model: str, B: int):
+    """Single-call form (scripts/, ad-hoc probes): prep + measure inline."""
+    return _measure_train(_prep_train(model, B))
 
 
 # minimum useful slot for one extra; anything smaller is recorded as skipped
@@ -504,16 +622,46 @@ EXTRA_MIN_SLOT_S = 30.0
 EXTRA_RESERVE_S = 100.0
 
 
+def _submit_window(specs, futs, pool, upto: int):
+    """Ensure preps for specs[0:upto] are submitted. The sliding window
+    bounds how many built-but-unmeasured contexts (device params) sit
+    resident at once."""
+    for label, _cap, prep, _m, _r in specs[:upto]:
+        if prep is not None and label not in futs:
+            futs[label] = pool.submit(prep)
+    return futs
+
+
 def run_extras(specs, extras, budget_s, t_start,
                clock=time.perf_counter,
-               reserve_s=EXTRA_RESERVE_S, min_slot_s=EXTRA_MIN_SLOT_S):
-    """Run each (label, cap_s, fn, render) spec under its own SIGALRM
-    sub-budget: min(cap_s, remaining - reserve_for_later). Every spec
+               reserve_s=EXTRA_RESERVE_S, min_slot_s=EXTRA_MIN_SLOT_S,
+               pool=None, futs=None, prefetch: int = 4):
+    """Run each (label, cap_s, prep, measure, render) spec under its own
+    SIGALRM sub-budget: min(cap_s, remaining - reserve_for_later).
+
+    Preps (param build + AOT compile) run on daemon threads `prefetch` specs
+    ahead of the measure cursor, so the relay's minutes-long cold compiles
+    overlap earlier measures instead of serializing (the round-3 artifact
+    loss — VERDICT r3 weak #2). Measures run on the main thread holding
+    _DEVICE_LOCK so in-flight preps cannot perturb the timings. Every spec
     produces exactly one entry in `extras` — a rendered value, an error, or
-    an explicit skipped marker — so an absent metric is always visible."""
+    an explicit skipped marker — so an absent metric is always visible.
+
+    Second-chance pass: a spec whose slot expired while WAITING on its prep
+    keeps its daemon thread compiling; after the last spec, any such prep
+    that has since finished is re-measured inside the leftover budget and
+    its error entry replaced (a fresh host's minutes-long Swin compile can
+    outlive any sane per-extra slot, but the RELAY does the waiting — the
+    measure itself is cheap once the executable exists)."""
     import signal
 
-    for i, (label, cap_s, fn, render) in enumerate(specs):
+    if pool is None:
+        pool = _DaemonPool(int(os.environ.get("BENCH_PREP_THREADS", "3")))
+    futs = futs if futs is not None else {}
+    retry = []   # (extras index, label, cap_s, measure, render)
+
+    for i, (label, cap_s, prep, measure, render) in enumerate(specs):
+        _submit_window(specs, futs, pool, i + 1 + prefetch)
         remaining = budget_s - (clock() - t_start)
         n_later = len(specs) - i - 1
         slot = min(float(cap_s), remaining - reserve_s * n_later)
@@ -521,9 +669,16 @@ def run_extras(specs, extras, budget_s, t_start,
             # less than a useful slot — but never below a floor share of
             # what IS left, so trailing extras still get their reserve
             slot = min(float(cap_s), max(remaining / (n_later + 1), 0.0))
-        if slot < min_slot_s:
+        if slot < min_slot_s and not (prep is not None and label in futs):
             extras.append({"metric": label,
                            "error": "skipped: bench budget exhausted"})
+            continue
+        if slot < min_slot_s:
+            # prep already in flight — record the skip but keep it eligible
+            # for the second-chance pass below
+            extras.append({"metric": label,
+                           "error": "skipped: bench budget exhausted"})
+            retry.append((len(extras) - 1, label, cap_s, measure, render))
             continue
 
         def _alarm(signum, frame):
@@ -531,9 +686,53 @@ def run_extras(specs, extras, budget_s, t_start,
         old = signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(max(int(slot), 1))
         try:
-            extras.append(render(fn()))
+            if prep is not None:
+                ctx = futs[label].result()
+                futs.pop(label)
+                with _DEVICE_LOCK:
+                    extras.append(render(measure(ctx)))
+                del ctx          # free the context's device buffers
+            else:
+                with _DEVICE_LOCK:
+                    extras.append(render(measure()))
         except Exception as e:
             extras.append({"metric": label, "error": repr(e)[:200]})
+            if prep is not None and label in futs \
+                    and (not futs[label].done()
+                         or futs[label].exception() is None):
+                # timed out waiting on the prep (or mid-measure) — the prep
+                # thread keeps going; try again at the end (done() guard:
+                # Future.exception() BLOCKS until completion)
+                retry.append((len(extras) - 1, label, cap_s, measure, render))
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    for j, (idx, label, cap_s, measure, render) in enumerate(retry):
+        fut = futs.get(label)
+        if fut is None or (fut.done() and fut.exception() is not None):
+            continue    # prep failed — keep the recorded error entry
+        remaining = budget_s - (clock() - t_start)
+        n_later = len(retry) - j - 1
+        slot = min(float(cap_s), remaining - reserve_s * n_later)
+        if slot < min_slot_s:
+            slot = min(float(cap_s), max(remaining / (n_later + 1), 0.0))
+        if slot < min_slot_s:
+            continue    # keep the original error entry
+
+        def _alarm(signum, frame):
+            raise TimeoutError(f"{label} exceeded its {int(slot)}s retry slot")
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(max(int(slot), 1))
+        try:
+            ctx = fut.result()   # blocks under the alarm if still compiling
+            futs.pop(label)
+            with _DEVICE_LOCK:
+                extras[idx] = render(measure(ctx))
+            del ctx
+        except Exception as e:
+            extras[idx] = {"metric": label,
+                           "error": repr(e)[:200] + " (retry)"}
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
@@ -563,12 +762,116 @@ def main():
     # bf16 primary.
     primary_int8 = os.environ.get("BENCH_PRIMARY", "int8") == "int8"
     want_extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
-    # the bf16 point is only REPORTED in the extras block, so don't pay its
-    # compile+scan on a BENCH_EXTRAS=0 int8-primary quick run
-    bf16_clips_per_sec = (None if (primary_int8 and not want_extras)
-                          else _bench_infer(model, B))
+
+    pool = _DaemonPool(int(os.environ.get("BENCH_PREP_THREADS", "3")))
+    # primary prewarm: bf16 + int8 compile CONCURRENTLY on the prep pool
+    # (the bf16 point is only REPORTED in the extras block, so don't pay it
+    # on a BENCH_EXTRAS=0 int8-primary quick run)
+    want_bf16 = not (primary_int8 and not want_extras)
+    fut_bf16 = (pool.submit(lambda: _prep_infer(model, B))
+                if want_bf16 else None)
+    fut_int8 = (pool.submit(lambda: _prep_infer(model, B, int8=True))
+                if primary_int8 else None)
+
+    specs = []
+    if want_extras:
+        if not primary_int8 and os.environ.get("BENCH_INT8", "1") == "1":
+            specs.append((
+                "int8", 300,
+                lambda: _prep_infer(model, B, int8=True), _measure_infer,
+                lambda cps8: {
+                    "metric": f"AVE {name} fusion inference, int8 frozen "
+                              f"towers (serving mode, batch={B})",
+                    "value": round(cps8, 2), "unit": "clips/sec/chip"}))
+        if os.environ.get("BENCH_INT8", "1") == "1":
+            specs.append((
+                "int8-fidelity", 240,
+                lambda: _int8_fidelity(model, B), lambda ra: ra,
+                lambda ra: {
+                    "metric": f"int8 serving fidelity vs bf16 ({name}, "
+                              "randomized adapters)",
+                    "max_rel_logit_dev": round(ra[0], 4),
+                    "top1_agreement": round(ra[1], 4)}))
+        specs.append((
+            "preprocess", 180,
+            lambda: _prep_preprocess(B), _measure_preprocess,
+            lambda r: {
+                "metric": "TPU-resident fbank+frame preprocess throughput",
+                "value": round(r[0], 3), "unit": "GB/s",
+                "clips_per_sec": round(r[1], 1)}))
+        specs.append((
+            "host-decode", 90, None, lambda: _bench_host_decode(),
+            lambda r: {
+                "metric": "host JPEG decode throughput (native C, "
+                          f"{os.cpu_count()} threads, 256^2 q90)",
+                "value": round(r[0], 1), "unit": "frames/sec",
+                "decoded_gb_per_sec": round(r[1], 3),
+                "ok_fraction": r[2]}))
+        specs.append((
+            "train", 300,
+            lambda: _prep_train(
+                model, int(os.environ.get("BENCH_TRAIN_BATCH", "2"))),
+            _measure_train,
+            lambda sps: {
+                "metric": f"AVE {name} fusion train step "
+                          f"(fwd+bwd+Adam, B=2, bf16)",
+                "value": round(sps, 3), "unit": "steps/sec"}))
+        if os.environ.get("BENCH_SERVING", "1") == "1":
+            specs.append((
+                "serving-device", 420,
+                lambda: _prep_serving_device(
+                    int(os.environ.get("BENCH_SERVING_BATCH", "2"))),
+                _measure_serving_device,
+                lambda r: {
+                    "metric": "multi-task serving clips/s "
+                              "(device-resident, shared Swin-Base tower,"
+                              " AVE+AVQA+AVS round-robin)",
+                    "value": round(r[0], 2), "unit": "clips/sec/chip",
+                    "per_task_clips_per_sec": r[1]}))
+        specs.append((
+            "softmax-fidelity", 240,
+            lambda: _softmax_fidelity(model, B), lambda ra: ra,
+            lambda ra: {
+                "metric": f"approx-softmax fidelity vs exact two-pass "
+                          f"({name}, bf16, randomized adapters)",
+                "max_rel_logit_dev": round(ra[0], 5),
+                "top1_agreement": round(ra[1], 4)}))
+        # standing flagship points (VERDICT r3 #5): the reference's headline
+        # accuracy configs tracked per round. Last in line — on a cold cache
+        # their compile may not fit the residual budget, and these are the
+        # points we accept losing first.
+        if os.environ.get("BENCH_FLAGSHIPS", "1") == "1" and model == "clip-b16":
+            specs.append((
+                "clip-l14-int8", 300,
+                lambda: _prep_infer("clip-l14", B, int8=True), _measure_infer,
+                lambda cps: {
+                    "metric": "AVE CLIP-L/14 fusion inference, int8 serving "
+                              f"(batch={B})",
+                    "value": round(cps, 2), "unit": "clips/sec/chip"}))
+            specs.append((
+                "swin-large-int8", 300,
+                lambda: _prep_infer("swin-large", 4, int8=True),
+                _measure_infer,
+                lambda cps: {
+                    "metric": "AVE Swin-Large fusion inference, int8 serving "
+                              "(batch=4)",
+                    "value": round(cps, 2), "unit": "clips/sec/chip"}))
+
+    # extras preps start compiling NOW, overlapping the primary's own
+    # compile wait + measures (prefetch window bounds resident contexts)
+    futs = _submit_window(specs, {}, pool, 3)
+
+    bf16_clips_per_sec = None
+    if fut_bf16 is not None:
+        ctx = fut_bf16.result()
+        with _DEVICE_LOCK:
+            bf16_clips_per_sec = _measure_infer(ctx)
+        del ctx
     if primary_int8:
-        clips_per_sec = _bench_infer(model, B, int8=True)
+        ctx = fut_int8.result()
+        with _DEVICE_LOCK:
+            clips_per_sec = _measure_infer(ctx)
+        del ctx
     else:
         clips_per_sec = bf16_clips_per_sec
 
@@ -583,82 +886,7 @@ def main():
                 "metric": f"AVE {name} fusion inference, bf16 (batch={B})",
                 "value": round(bf16_clips_per_sec, 2),
                 "unit": "clips/sec/chip"})
-        specs = []
-        if not primary_int8 and os.environ.get("BENCH_INT8", "1") == "1":
-            specs.append((
-                "int8", 300, lambda: _bench_infer(model, B, int8=True),
-                lambda cps8: {
-                    "metric": f"AVE {name} fusion inference, int8 frozen "
-                              f"towers (serving mode, batch={B})",
-                    "value": round(cps8, 2), "unit": "clips/sec/chip"}))
-        if os.environ.get("BENCH_INT8", "1") == "1":
-            specs.append((
-                "int8-fidelity", 240, lambda: _int8_fidelity(model, B),
-                lambda ra: {
-                    "metric": f"int8 serving fidelity vs bf16 ({name}, "
-                              "randomized adapters)",
-                    "max_rel_logit_dev": round(ra[0], 4),
-                    "top1_agreement": round(ra[1], 4)}))
-        specs.append((
-            "preprocess", 180, lambda: _bench_preprocess(B),
-            lambda r: {
-                "metric": "TPU-resident fbank+frame preprocess throughput",
-                "value": round(r[0], 3), "unit": "GB/s",
-                "clips_per_sec": round(r[1], 1)}))
-        specs.append((
-            "host-decode", 90, lambda: _bench_host_decode(),
-            lambda r: {
-                "metric": "host JPEG decode throughput (native C, "
-                          f"{os.cpu_count()} threads, 256^2 q90)",
-                "value": round(r[0], 1), "unit": "frames/sec",
-                "decoded_gb_per_sec": round(r[1], 3),
-                "ok_fraction": r[2]}))
-        specs.append((
-            "train", 300,
-            lambda: _bench_train(
-                model, int(os.environ.get("BENCH_TRAIN_BATCH", "2"))),
-            lambda sps: {
-                "metric": f"AVE {name} fusion train step "
-                          f"(fwd+bwd+Adam, B=2, bf16)",
-                "value": round(sps, 3), "unit": "steps/sec"}))
-        if os.environ.get("BENCH_SERVING", "1") == "1":
-            specs.append((
-                "serving-device", 420,
-                lambda: _bench_serving_device(
-                    int(os.environ.get("BENCH_SERVING_BATCH", "2"))),
-                lambda r: {
-                    "metric": "multi-task serving clips/s "
-                              "(device-resident, shared Swin-Base tower,"
-                              " AVE+AVQA+AVS round-robin)",
-                    "value": round(r[0], 2), "unit": "clips/sec/chip",
-                    "per_task_clips_per_sec": r[1]}))
-        specs.append((
-            "softmax-fidelity", 240, lambda: _softmax_fidelity(model, B),
-            lambda ra: {
-                "metric": f"approx-softmax fidelity vs exact two-pass "
-                          f"({name}, bf16, randomized adapters)",
-                "max_rel_logit_dev": round(ra[0], 5),
-                "top1_agreement": round(ra[1], 4)}))
-        # standing flagship points (VERDICT r3 #5): the reference's headline
-        # accuracy configs tracked per round. Last in line — on a cold cache
-        # their compile may not fit the residual budget, and these are the
-        # points we accept losing first.
-        if os.environ.get("BENCH_FLAGSHIPS", "1") == "1" and model == "clip-b16":
-            specs.append((
-                "clip-l14-int8", 300,
-                lambda: _bench_infer("clip-l14", B, int8=True),
-                lambda cps: {
-                    "metric": "AVE CLIP-L/14 fusion inference, int8 serving "
-                              f"(batch={B})",
-                    "value": round(cps, 2), "unit": "clips/sec/chip"}))
-            specs.append((
-                "swin-large-int8", 300,
-                lambda: _bench_infer("swin-large", 4, int8=True),
-                lambda cps: {
-                    "metric": "AVE Swin-Large fusion inference, int8 serving "
-                              "(batch=4)",
-                    "value": round(cps, 2), "unit": "clips/sec/chip"}))
-        run_extras(specs, extras, budget_s, t_start)
+        run_extras(specs, extras, budget_s, t_start, pool=pool, futs=futs)
 
     prec = ("int8 serving mode, fused W8A8 megakernels" if primary_int8
             else "bf16")
@@ -675,3 +903,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # daemon prep threads may still sit inside TPU-client/relay calls;
+    # normal interpreter teardown aborts on them ("FATAL: exception not
+    # rethrown", nonzero rc — observed round 4). The artifact is the stdout
+    # JSON, already flushed — skip destructors.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
