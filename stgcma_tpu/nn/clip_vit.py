@@ -364,7 +364,8 @@ def _run_resblocks(params, cfg: ClipConfig, x, mode: str):
 
 
 def _maybe_resident_pad(x):
-    """Resident-pad layout (STGCMA_RESIDENT_PAD=1): pad the token axis to the
+    """Resident-pad layout (default-on on TPU, STGCMA_RESIDENT_PAD=0 to
+    disable): pad the token axis to the
     16-multiple the spatial kernel would re-pad to on EVERY call (prime
     N=197 -> 208), ONCE, right after embed. Dead tokens are masked out of all
     softmax keys downstream (n_real threading), the class token (index 0) is

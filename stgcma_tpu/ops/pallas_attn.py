@@ -827,15 +827,23 @@ def ffn_megakernel(mlp_p, ln, x, act: str = "gelu",
 
 
 def resident_pad_enabled() -> bool:
-    """STGCMA_RESIDENT_PAD=1: the CLIP video token stream stays padded to a
-    16-multiple ACROSS all resblocks (padded once after embed) instead of the
-    spatial kernel re-padding 197->208 per call — the prime-197 pad/slice HBM
-    copies in the round-4 trace (~2 ms/iter, BENCH_NOTES). Real-token outputs
-    are bit-identical: the kernel already computes over the padded grid with
-    -1e30 key masks; this only hoists the pad out of the per-block calls.
-    Read at trace time."""
+    """Resident-pad token layout: the CLIP video token stream stays padded to
+    a 16-multiple ACROSS all resblocks (padded once after embed) instead of
+    the spatial kernel re-padding 197->208 per call — the prime-197 pad/slice
+    HBM copies in the round-4 trace (~2 ms/iter, BENCH_NOTES). Real-token
+    outputs are bit-identical: the kernel already computes over the padded
+    grid with -1e30 key masks; this only hoists the pad out of the per-block
+    calls. Measured +8.5% on CLIP-B/16 int8 serving (237.6 -> 257.8 clips/s,
+    BENCH_NOTES round 4), so it is ON by default on TPU (like the fused
+    kernels themselves); override with STGCMA_RESIDENT_PAD=0/1. Read at
+    trace time; pad rows carry zero loss cotangents (ln_post reads the class
+    token only), so training gradients are unaffected
+    (tests/test_resident_pad.py pins float + int8 end-to-end)."""
     import os
-    return os.environ.get("STGCMA_RESIDENT_PAD", "0") == "1"
+    env = os.environ.get("STGCMA_RESIDENT_PAD")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 def clip_temporal_megakernel(attn_p, ln, x, num_heads: int,
@@ -1314,12 +1322,26 @@ def _quant_rows(xf):
     return xq, sx
 
 
+def _bf16_dequant() -> bool:
+    """STGCMA_Q_BF16_DEQUANT=1 (probe, VERDICT r3 #1c): run the int8 kernels'
+    dequant chain (int32 acc convert + two scale multiplies per element) in
+    bf16 instead of fp32 — saved VPU volume if Mosaic packs bf16 lanes 2x on
+    v5e, extra ~0.4% rounding on top of the ~1% int8 quant error if not.
+    Measured via scripts/ab_bf16_dequant.py; read at trace time."""
+    import os
+    return os.environ.get("STGCMA_Q_BF16_DEQUANT", "0") == "1"
+
+
 def _dotq(xf, wq, ws):
     """fp32 activations -> fused row-quant -> int8 MXU dot -> dequant (fp32).
     wq: int8 (K, N); ws: fp32 (1, N) per-out-channel scales."""
     xq, sx = _quant_rows(xf)
     acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
+    if _bf16_dequant():
+        out = (acc.astype(jnp.bfloat16) * sx.astype(jnp.bfloat16)
+               * ws.astype(jnp.bfloat16))
+        return out.astype(jnp.float32)
     return acc.astype(jnp.float32) * sx * ws
 
 

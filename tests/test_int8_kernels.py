@@ -149,3 +149,29 @@ def test_swin_whole_block_int8():
         float(jnp.max(jnp.abs(out_q[0] - out_n[0]))) / float(jnp.max(jnp.abs(out_n[0]))),
         float(jnp.max(jnp.abs(out_q[1] - out_n[1]))) / float(jnp.max(jnp.abs(out_n[1]))))
     assert rel < 0.05, rel
+
+
+def test_bf16_dequant_probe_close_to_fp32_dequant(monkeypatch):
+    """STGCMA_Q_BF16_DEQUANT=1 (VERDICT r3 #1c probe) reruns the int8 dequant
+    chain in bf16; outputs must stay within bf16-rounding distance of the
+    fp32-dequant int8 path (the ~1% int8 quant error itself is shared)."""
+    rng = np.random.RandomState(4)
+    C, heads, N, B_ = 128, 4, 16, 8
+    x = jnp.asarray(rng.randn(B_, N, C), jnp.float32)
+    lns = jnp.ones((C,), jnp.float32)
+    lnb = jnp.zeros((C,), jnp.float32)
+    qkv = _lin(rng, C, 3 * C)
+    proj = _lin(rng, C, C)
+    bm = jnp.zeros((1, heads, N, N), jnp.float32)
+    qq, qs = quantize_weight(qkv["kernel"])
+    pq, ps = quantize_weight(proj["kernel"])
+    qp = {"wqkv_q": qq, "wqkv_s": qs, "bqkv": qkv["bias"],
+          "wproj_q": pq, "wproj_s": ps, "bproj": proj["bias"]}
+    monkeypatch.setenv("STGCMA_Q_BF16_DEQUANT", "0")
+    ref = PA._win_block_q_pallas(x, lns, lnb, qp, bm, heads)
+    monkeypatch.setenv("STGCMA_Q_BF16_DEQUANT", "1")
+    out = PA._win_block_q_pallas(x, lns, lnb, qp, bm, heads)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    rel = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32)))) / scale
+    assert rel < 3e-2, rel
