@@ -47,33 +47,52 @@ def share_frozen_tower(canonical: Dict[str, Any], others: Dict[str, Dict[str, An
 
 
 class MultiTaskServer:
-    """Dispatches batched inference across AVE / AVQA / AVS heads."""
+    """Dispatches batched inference across AVE / AVQA / AVS heads.
 
-    def __init__(self, dtype=jnp.bfloat16):
+    mesh: optional jax.sharding.Mesh for multi-chip serving. Request batches
+    are sharded over the mesh's 'data' axis (the leading dim must divide its
+    extent) and params are replicated, so pure-dp inference is
+    collective-free and throughput scales ~linearly with the 'data' extent
+    over ICI. shard_tower=True additionally applies the Megatron column/row
+    splits over 'model' (runtime.mesh.shard_params) for Large towers that
+    exceed one chip's HBM — XLA then inserts the tp collectives from the
+    sharding annotations alone (SURVEY.md §2.12; no reference counterpart,
+    the reference serves single-GPU only)."""
+
+    def __init__(self, dtype=jnp.bfloat16, mesh=None, shard_tower=False):
         self.dtype = dtype
+        self.mesh = mesh
+        self.shard_tower = shard_tower
         self._fns: Dict[str, Callable] = {}
         self._params: Dict[str, Any] = {}
 
+    def _place(self, params):
+        if self.mesh is None:
+            return params
+        from .runtime import mesh as M
+        return (M.shard_params(params, self.mesh) if self.shard_tower
+                else M.replicate(params, self.mesh))
+
     def add_ave(self, name: str, cfg: SwinConfig, params):
-        p = cast_tree(params, self.dtype)
+        p = self._place(cast_tree(params, self.dtype))
         fn = jax.jit(lambda p, a, v: ave.apply_swin_ave(p, cfg, a, v))
         self._fns[name] = lambda p, batch: fn(p, batch["a"], batch["v"])
         self._params[name] = p
 
     def add_clip_ave(self, name: str, cfg: ClipConfig, params):
-        p = cast_tree(params, self.dtype)
+        p = self._place(cast_tree(params, self.dtype))
         fn = jax.jit(lambda p, a, v: ave.apply_clip_ave(p, cfg, a, v))
         self._fns[name] = lambda p, batch: fn(p, batch["a"], batch["v"])
         self._params[name] = p
 
     def add_avs(self, name: str, cfg: SwinConfig, hcfg: AVSHeadConfig, params):
-        p = cast_tree(params, self.dtype)
+        p = self._place(cast_tree(params, self.dtype))
         fn = jax.jit(lambda p, a, v: avs.apply_avs(p, cfg, hcfg, a, v)[0])
         self._fns[name] = lambda p, batch: fn(p, batch["a"], batch["v"])
         self._params[name] = p
 
     def add_avqa(self, name: str, cfg: SwinConfig, hcfg: AVQAHeadConfig, params):
-        p = cast_tree(params, self.dtype)
+        p = self._place(cast_tree(params, self.dtype))
         fn = jax.jit(lambda p, a, v, vn, q:
                      avqa.apply_avqa(p, cfg, hcfg, a, v, vn, q)[0])
         self._fns[name] = lambda p, batch: fn(p, batch["a"], batch["v"],
@@ -87,6 +106,17 @@ class MultiTaskServer:
         batch = {k: jnp.asarray(v).astype(self.dtype)
                  if np.issubdtype(np.asarray(v).dtype, np.floating)
                  else jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            from .runtime import mesh as M
+            d = self.mesh.shape["data"]
+            for k, v in batch.items():
+                if v.shape[0] % d:
+                    raise ValueError(
+                        f"batch['{k}'] leading dim {v.shape[0]} does not "
+                        f"divide the mesh's data extent {d}; pad the request "
+                        "micro-batch to a multiple (serve_stream does)")
+            sharding = M.batch_sharding(self.mesh)
+            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
         return np.asarray(self._fns[task](self._params[task], batch),
                           dtype=np.float32)
 
