@@ -88,6 +88,9 @@ def parse_args(argv=None):
     p.add_argument("--ckpt", default="")
     p.add_argument("--synthetic", type=str2bool, default=False)
     p.add_argument("--tiny", type=str2bool, default=False)
+    # mid-training resume (beyond the reference — SURVEY §5 gap; restores
+    # train params + opt state + LR position from exp_dir/state)
+    p.add_argument("--resume", type=str2bool, default=False)
     return p.parse_args(argv)
 
 
@@ -288,7 +291,7 @@ def main(argv=None):
                       lr_mode=lr_mode, plateau_patience=args.lr_patience,
                       multistep=(args.lrscheduler_start, args.lrscheduler_step,
                                  args.lrscheduler_decay))
-    trainer.fit(tr, te, rng)
+    trainer.fit(tr, te, rng, resume=args.resume)
     print("done. best epoch", trainer.best_epoch, "best acc", trainer.best_metric)
 
     if args.wa:

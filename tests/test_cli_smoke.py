@@ -38,3 +38,26 @@ def test_ave_cli_resume(tmp_path):
     # resume continues to epoch 2 without redoing epoch 1
     t2 = run_adapt_ave29.main(args + ["--n-epochs", "2", "--resume", "True"])
     assert [h["epoch"] for h in t2.history] == [1, 2]
+
+
+def test_avqa_cli_resume(tmp_path):
+    """--resume restores epoch position + opt state for AVQA (VERDICT r4 #6:
+    the reference has no resume at all — SURVEY §5; flag parity with AVE)."""
+    from stgcma_tpu.cli import run_adapt_avqa
+    exp = str(tmp_path / "exp_q")
+    args = ["--synthetic", "True", "--tiny", "True", "--batch_size", "2",
+            "--exp-dir", exp, "--num_workers", "2", "--num_frames", "2"]
+    run_adapt_avqa.main(args + ["--n-epochs", "1"])
+    t2 = run_adapt_avqa.main(args + ["--n-epochs", "2", "--resume", "True"])
+    assert [h["epoch"] for h in t2.history] == [1, 2]
+
+
+def test_avs_cli_resume(tmp_path):
+    """--resume restores epoch position + opt state for AVS (VERDICT r4 #6)."""
+    from stgcma_tpu.cli import run_adapt_avs
+    exp = str(tmp_path / "exp_s")
+    args = ["--synthetic", "True", "--tiny", "True", "--batch_size", "2",
+            "--exp-dir", exp, "--num_workers", "2", "--num_frames", "2"]
+    run_adapt_avs.main(args + ["--n-epochs", "1"])
+    t2 = run_adapt_avs.main(args + ["--n-epochs", "2", "--resume", "True"])
+    assert [h["epoch"] for h in t2.history] == [1, 2]
