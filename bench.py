@@ -54,6 +54,47 @@ def _timed_scan(fn, reps=6, n_small=2, n_large=12):
     return (timed(n_large) - timed(n_small)) / (n_large - n_small)
 
 
+_OVERHEAD_S = None
+
+
+def _dispatch_overhead(reps: int = 12) -> float:
+    """Fixed per-dispatch host+relay latency (dispatch + scalar fetch),
+    measured once on a trivial compiled program. Single-length extras
+    subtract it instead of paying a second big compile for length
+    differencing — the r4 artifact losses (serving-device, swin-large) were
+    pure COLD-COMPILE surface, so every trailing extra now costs one
+    program, not two. Call under _DEVICE_LOCK."""
+    global _OVERHEAD_S
+    if _OVERHEAD_S is None:
+        import jax
+        import jax.numpy as jnp
+        f = jax.jit(lambda x: x * 1.000001)
+        x = jnp.float32(1.5)
+        c = _aot(f, x)
+        float(c(x))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(c(x))
+            best = min(best, time.perf_counter() - t0)
+        _OVERHEAD_S = best
+    return _OVERHEAD_S
+
+
+def _timed_single(fn_call, n: int, reps: int = 6) -> float:
+    """Per-iteration time from ONE compiled scan length: subtract the
+    calibrated dispatch overhead. Needs n large enough that the device
+    section dominates (callers use n >= 6)."""
+    ov = _dispatch_overhead()
+    float(fn_call())
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn_call())
+        best = min(best, time.perf_counter() - t0)
+    return max(best - ov, best * 0.05) / n
+
+
 # ---------------------------------------------------------------------------
 # background prep: every heavy bench stage is split into a PREP (build params
 # + AOT lower/compile its programs — host/relay work) and a MEASURE (the timed
@@ -143,7 +184,10 @@ def _build_infer(model: str, B: int, int8: bool = False):
     if model.startswith("swin"):
         from stgcma_tpu.configs import swin_large
         mk = swin_large if model == "swin-large" else swin_base
-        cfg = mk(ftmode="fusion", label_dim=29)
+        # pair-scan stage 2: measured neutral on v5e (67.0 vs 67.4 clips/s,
+        # scripts/ab_scan_blocks.py) with 2.4x less compile — the Swin
+        # programs were the bench's cold-compile hogs (VERDICT r4 #2)
+        cfg = mk(ftmode="fusion", label_dim=29, scan_blocks=6)
         params = cast_tree(ave.init_swin_ave(jax.random.PRNGKey(0), cfg),
                            jnp.bfloat16)
         apply_fn = ave.apply_swin_ave
@@ -205,6 +249,23 @@ def _measure_infer(ctx, reps: int = 6):
 def _bench_infer(model: str, B: int, int8: bool = False):
     """Single-call form (scripts/, ad-hoc probes): prep + measure inline."""
     return _measure_infer(_prep_infer(model, B, int8))
+
+
+def _prep_infer_single(model: str, B: int, int8: bool = False, n: int = 10,
+                       env: dict = None):
+    """One-program prep for trailing extras: a single scan length, measured
+    with _measure_infer_single via dispatch-overhead subtraction. Halves the
+    cold-compile surface vs the two-length pair."""
+    with _DEVICE_LOCK:
+        fwd_many, params, a, v = _build_infer(model, B, int8)
+    compiled = _aot(fwd_many, params, a, v, n, env=env)
+    return {"compiled": compiled, "args": (params, a, v), "B": B, "n": n}
+
+
+def _measure_infer_single(ctx, reps: int = 6):
+    per_iter = _timed_single(lambda: ctx["compiled"](*ctx["args"]),
+                             ctx["n"], reps=reps)
+    return ctx["B"] / per_iter
 
 
 def _int8_fidelity(model: str, B: int):
@@ -309,6 +370,77 @@ def _softmax_fidelity(model: str, B: int):
     return rel, agree
 
 
+def _prep_fidelity(model: str, B: int):
+    """Merged fidelity prep (3 programs instead of the 4 the two separate
+    specs paid): exact-softmax bf16, default(approx) bf16, and int8 — the
+    approx-bf16 forward is shared as the int8 reference AND the softmax
+    comparison point. Measure with _measure_fidelity -> list of two extras."""
+    import jax
+    import jax.numpy as jnp
+    from stgcma_tpu.configs import clip_b16, swin_base
+    from stgcma_tpu.models import ave
+    from stgcma_tpu.ops.common import cast_tree
+    from stgcma_tpu.ops.quant import quantize_clip_tower, quantize_swin_tower
+
+    rng = np.random.RandomState(7)
+    with _DEVICE_LOCK:
+        if model.startswith("swin"):
+            cfg = swin_base(ftmode="fusion", label_dim=29, scan_blocks=6)
+            params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
+            apply_fn, qf = ave.apply_swin_ave, quantize_swin_tower
+            a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
+            v_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
+        else:
+            cfg = clip_b16(ftmode="fusion", label_dim=29)
+            params = ave.init_clip_ave(jax.random.PRNGKey(0), cfg)
+            apply_fn, qf = ave.apply_clip_ave, quantize_clip_tower
+            a_shape = (B, cfg.num_frames, cfg.audio_tdim, cfg.audio_fdim)
+            v_shape = (B, cfg.num_frames, cfg.input_resolution,
+                       cfg.input_resolution, 3)
+        keys = iter(jax.random.split(jax.random.PRNGKey(11), 4096))
+        # randomized adapters/gates: zero-init adapters would leave the
+        # fusion paths dead and understate every deviation
+        params = jax.tree_util.tree_map(
+            lambda x: jax.random.normal(next(keys), x.shape, jnp.float32) * 0.05
+            if hasattr(x, "ndim") and x.ndim >= 1 else x, params)
+        a = jnp.asarray(rng.randn(*a_shape), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(*v_shape), jnp.bfloat16)
+        p16 = cast_tree(params, jnp.bfloat16)
+        pq = dict(p16)
+        pq["backbone"] = qf(params["backbone"])
+
+    f_exact = jax.jit(lambda p, a, v: apply_fn(p, cfg, a, v))
+    f_approx = jax.jit(lambda p, a, v: apply_fn(p, cfg, a, v))
+    f_int8 = jax.jit(lambda p, a, v: apply_fn(p, cfg, a, v))
+    return {
+        "exact": (_aot(f_exact, p16, a, v,
+                       env={"STGCMA_EXACT_SOFTMAX": "1"}), (p16, a, v)),
+        "approx": (_aot(f_approx, p16, a, v,
+                        env={"STGCMA_EXACT_SOFTMAX": "0"}), (p16, a, v)),
+        "int8": (_aot(f_int8, pq, a, v,
+                      env={"STGCMA_EXACT_SOFTMAX": "0"}), (pq, a, v)),
+        "label_dim": 29,
+    }
+
+
+def _measure_fidelity(ctx):
+    # runs under _DEVICE_LOCK already (run_extras holds it around measures)
+    outs = {}
+    for k, (exe, args) in ctx.items():
+        if k == "label_dim":
+            continue
+        outs[k] = np.asarray(exe(*args), np.float32)
+
+    def _cmp(out, ref):
+        rel = float(np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6))
+        agree = float((out.reshape(-1, out.shape[-1]).argmax(-1)
+                       == ref.reshape(-1, ref.shape[-1]).argmax(-1)).mean())
+        return rel, agree
+
+    return _cmp(outs["int8"], outs["approx"]), _cmp(outs["approx"],
+                                                    outs["exact"])
+
+
 def _prep_preprocess(B: int):
     """TPU-resident eval preprocess: uint8 frames + raw wave -> (a, v).
     Reports input GB/s (the BASELINE.json 'fbank+frame preprocess' metric).
@@ -372,10 +504,10 @@ def _prep_serving_device(B: int = 2):
     from stgcma_tpu.serving import share_frozen_tower
 
     rng = np.random.RandomState(3)
-    cfg_ave = swin_base(ftmode="fusion", label_dim=29)
+    cfg_ave = swin_base(ftmode="fusion", label_dim=29, scan_blocks=6)
     cfg_avqa = swin_base(ftmode="fusion", num_frames=10,
-                         with_nega_stream=True)
-    cfg_avs = swin_base(ftmode="fusion", num_frames=5)
+                         with_nega_stream=True, scan_blocks=6)
+    cfg_avs = swin_base(ftmode="fusion", num_frames=5, scan_blocks=6)
     h_avqa = AVQAHeadConfig(feat_dim=cfg_avqa.num_features, grid=7,
                             num_frames=10)
     h_avs = AVSHeadConfig(
@@ -440,18 +572,24 @@ def _prep_serving_device(B: int = 2):
         "avqa": (serve_avqa, (p_avqa, a_q, v_q, vn_q, q_ids)),
         "avs": (serve_avs, (p_avs, a_s, v_s)),
     }
+    # ONE program per task measured via dispatch-overhead subtraction: the
+    # r3/r4 artifact losses were this prep's 6-program cold-compile surface
+    # (VERDICT r4 #2) — now 3 programs, each with a pair-scanned stage 2
+    # (another 2.4x compile cut, measured perf-neutral). n=16 keeps the
+    # device section several x the ~0.5 s dispatch overhead being subtracted.
+    N_SERVE = 16
     compiled = {}
     for t, (fn, args) in tasks.items():
-        compiled[t] = ({n: _aot(fn, *args, n) for n in (1, 5)}, args)
-    return {"compiled": compiled, "B": B}
+        compiled[t] = (_aot(fn, *args, N_SERVE), args)
+    return {"compiled": compiled, "B": B, "n": N_SERVE}
 
 
 def _measure_serving_device(ctx):
     B = ctx["B"]
+    n = ctx["n"]
     times = {}
-    for t, (by_n, args) in ctx["compiled"].items():
-        times[t] = _timed_scan(lambda n: by_n[n](*args),
-                               reps=3, n_small=1, n_large=5)
+    for t, (exe, args) in ctx["compiled"].items():
+        times[t] = _timed_single(lambda: exe(*args), n, reps=4)
     agg = 3 * B / sum(times.values())
     rates = {t: round(B / dt, 2) for t, dt in times.items()}
     return agg, rates
@@ -519,7 +657,7 @@ def _prep_train(model: str, B: int):
         if model.startswith("swin"):
             from stgcma_tpu.configs import swin_large
             mk = swin_large if model == "swin-large" else swin_base
-            cfg = mk(ftmode="fusion", label_dim=29)
+            cfg = mk(ftmode="fusion", label_dim=29, scan_blocks=6)
             params = ave.init_swin_ave(jax.random.PRNGKey(0), cfg)
             apply_fn = ave.apply_swin_ave
             a_shape = (B, cfg.num_frames, cfg.img_size, cfg.img_size)
@@ -656,7 +794,7 @@ def run_extras(specs, extras, budget_s, t_start,
     import signal
 
     if pool is None:
-        pool = _DaemonPool(int(os.environ.get("BENCH_PREP_THREADS", "3")))
+        pool = _DaemonPool(int(os.environ.get("BENCH_PREP_THREADS", "4")))
     futs = futs if futs is not None else {}
     retry = []   # (extras index, label, cap_s, measure, render)
 
@@ -690,11 +828,13 @@ def run_extras(specs, extras, budget_s, t_start,
                 ctx = futs[label].result()
                 futs.pop(label)
                 with _DEVICE_LOCK:
-                    extras.append(render(measure(ctx)))
+                    r = render(measure(ctx))
+                extras.extend(r) if isinstance(r, list) else extras.append(r)
                 del ctx          # free the context's device buffers
             else:
                 with _DEVICE_LOCK:
-                    extras.append(render(measure()))
+                    r = render(measure())
+                extras.extend(r) if isinstance(r, list) else extras.append(r)
         except Exception as e:
             extras.append({"metric": label, "error": repr(e)[:200]})
             if prep is not None and label in futs \
@@ -708,6 +848,9 @@ def run_extras(specs, extras, budget_s, t_start,
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
+    # descending index order: a list-render splice (e.g. the merged fidelity
+    # spec) grows `extras` in place and must not shift earlier retry indices
+    retry.sort(key=lambda t: -t[0])
     for j, (idx, label, cap_s, measure, render) in enumerate(retry):
         fut = futs.get(label)
         if fut is None or (fut.done() and fut.exception() is not None):
@@ -728,7 +871,8 @@ def run_extras(specs, extras, budget_s, t_start,
             ctx = fut.result()   # blocks under the alarm if still compiling
             futs.pop(label)
             with _DEVICE_LOCK:
-                extras[idx] = render(measure(ctx))
+                r = render(measure(ctx))
+                extras[idx:idx + 1] = r if isinstance(r, list) else [r]
             del ctx
         except Exception as e:
             extras[idx] = {"metric": label,
@@ -763,7 +907,7 @@ def main():
     primary_int8 = os.environ.get("BENCH_PRIMARY", "int8") == "int8"
     want_extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
 
-    pool = _DaemonPool(int(os.environ.get("BENCH_PREP_THREADS", "3")))
+    pool = _DaemonPool(int(os.environ.get("BENCH_PREP_THREADS", "4")))
     # primary prewarm: bf16 + int8 compile CONCURRENTLY on the prep pool
     # (the bf16 point is only REPORTED in the extras block, so don't pay it
     # on a BENCH_EXTRAS=0 int8-primary quick run)
@@ -785,13 +929,30 @@ def main():
                     "value": round(cps8, 2), "unit": "clips/sec/chip"}))
         if os.environ.get("BENCH_INT8", "1") == "1":
             specs.append((
-                "int8-fidelity", 240,
-                lambda: _int8_fidelity(model, B), lambda ra: ra,
-                lambda ra: {
-                    "metric": f"int8 serving fidelity vs bf16 ({name}, "
-                              "randomized adapters)",
-                    "max_rel_logit_dev": round(ra[0], 4),
-                    "top1_agreement": round(ra[1], 4)}))
+                "fidelity", 300,
+                lambda: _prep_fidelity(model, B), _measure_fidelity,
+                lambda r: [
+                    {"metric": f"int8 serving fidelity vs bf16 ({name}, "
+                               "randomized adapters)",
+                     "max_rel_logit_dev": round(r[0][0], 4),
+                     "top1_agreement": round(r[0][1], 4)},
+                    {"metric": "approx-softmax fidelity vs exact two-pass "
+                               f"({name}, bf16, randomized adapters)",
+                     "max_rel_logit_dev": round(r[1][0], 5),
+                     "top1_agreement": round(r[1][1], 4)}]))
+        # faithful-numerics co-primary (VERDICT r4 #7): bf16 + exact softmax
+        # is the <=1e-3-fidelity class of the north-star; tracked per round
+        # with its own vs_baseline alongside the int8 primary
+        specs.append((
+            "bf16-exact", 240,
+            lambda: _prep_infer_single(model, B, int8=False, n=24,
+                                       env={"STGCMA_EXACT_SOFTMAX": "1"}),
+            _measure_infer_single,
+            lambda cps: {
+                "metric": f"AVE {name} fusion inference, bf16 + exact "
+                          f"softmax (faithful-numerics serving, batch={B})",
+                "value": round(cps, 2), "unit": "clips/sec/chip",
+                "vs_baseline": round(cps / 500.0, 3)}))
         specs.append((
             "preprocess", 180,
             lambda: _prep_preprocess(B), _measure_preprocess,
@@ -828,38 +989,42 @@ def main():
                               " AVE+AVQA+AVS round-robin)",
                     "value": round(r[0], 2), "unit": "clips/sec/chip",
                     "per_task_clips_per_sec": r[1]}))
-        specs.append((
-            "softmax-fidelity", 240,
-            lambda: _softmax_fidelity(model, B), lambda ra: ra,
-            lambda ra: {
-                "metric": f"approx-softmax fidelity vs exact two-pass "
-                          f"({name}, bf16, randomized adapters)",
-                "max_rel_logit_dev": round(ra[0], 5),
-                "top1_agreement": round(ra[1], 4)}))
-        # standing flagship points (VERDICT r3 #5): the reference's headline
-        # accuracy configs tracked per round. Last in line — on a cold cache
-        # their compile may not fit the residual budget, and these are the
-        # points we accept losing first.
+        # standing flagship points (VERDICT r3 #5, r4 #2/#5): the reference's
+        # headline accuracy configs tracked per round. ONE program each
+        # (dispatch-overhead-subtracted timing) + pair-scanned Swin stage 2:
+        # the 2-program-per-point cold-compile surface is what kept these as
+        # TimeoutError entries in r3/r4.
         if os.environ.get("BENCH_FLAGSHIPS", "1") == "1" and model == "clip-b16":
             specs.append((
                 "clip-l14-int8", 300,
-                lambda: _prep_infer("clip-l14", B, int8=True), _measure_infer,
+                lambda: _prep_infer_single("clip-l14", B, int8=True),
+                _measure_infer_single,
                 lambda cps: {
                     "metric": "AVE CLIP-L/14 fusion inference, int8 serving "
                               f"(batch={B})",
                     "value": round(cps, 2), "unit": "clips/sec/chip"}))
             specs.append((
+                "swin-base-int8", 240,
+                lambda: _prep_infer_single("swin-base", B, int8=True),
+                _measure_infer_single,
+                lambda cps: {
+                    "metric": "AVE Swin-Base fusion inference, int8 serving "
+                              f"(batch={B})",
+                    "value": round(cps, 2), "unit": "clips/sec/chip"}))
+            specs.append((
                 "swin-large-int8", 300,
-                lambda: _prep_infer("swin-large", 4, int8=True),
-                _measure_infer,
+                lambda: _prep_infer_single("swin-large", 4, int8=True),
+                _measure_infer_single,
                 lambda cps: {
                     "metric": "AVE Swin-Large fusion inference, int8 serving "
                               "(batch=4)",
                     "value": round(cps, 2), "unit": "clips/sec/chip"}))
 
-    # extras preps start compiling NOW, overlapping the primary's own
-    # compile wait + measures (prefetch window bounds resident contexts)
-    futs = _submit_window(specs, {}, pool, 3)
+    # ALL extras preps start compiling NOW, overlapping the primary's own
+    # compile wait + measures (the full spec list's contexts fit v5e HBM
+    # comfortably since the single-program restructure; submitting everything
+    # up front gives the relay the whole cold-compile queue at t=0)
+    futs = _submit_window(specs, {}, pool, len(specs))
 
     bf16_clips_per_sec = None
     if fut_bf16 is not None:
@@ -874,6 +1039,11 @@ def main():
         del ctx
     else:
         clips_per_sec = bf16_clips_per_sec
+
+    # calibrate the per-dispatch overhead now (cheap) so single-program
+    # extras never pay it inside their own sub-budget slots
+    with _DEVICE_LOCK:
+        _dispatch_overhead()
 
     # extras run inside a wall-clock budget so a cold compile through the
     # relay can never sink the whole bench (the primary metric is out by now)

@@ -1,42 +1,58 @@
 """Warm the persistent XLA compile cache for the bench extras whose cold
-compiles outlive any sane per-extra sub-budget (serving-device's 6-program
-multi-task Swin surface, swin-large-int8, clip-l14-int8).
+compiles outlive any sane per-extra sub-budget (serving-device's multi-task
+Swin surface, the flagship int8 points, bf16-exact).
 
 bench.py intentionally never waits minutes for a single extra (VERDICT r3
 #2: every extra gets a sub-budget so one compile can't starve the rest), so
-on a VIRGIN cache these extras report their own timeout. Running this script
-once — no alarms, compiles run to completion — populates
-~/.cache/stgcma_jax_tpu; every subsequent bench run then measures them in
-seconds. Idempotent: cached programs load instead of recompiling.
+on a VIRGIN cache the heaviest extras report their own timeout. Running this
+script once — no alarms, compiles run to completion — populates
+~/.cache/stgcma_jax_tpu with the EXACT programs bench.py main() AOT-compiles
+(same prep functions, same shapes/env); every subsequent bench run then
+measures them in seconds. Idempotent: cached programs load instead of
+recompiling.
 
-    python scripts/warm_cache.py [serving] [swin-large] [clip-l14]
+    python scripts/warm_cache.py [serving] [swin-large] [swin-base] [clip-l14] [bf16-exact]
     python scripts/warm_cache.py            # all of them
 """
+import os
+import pathlib
 import sys
 import time
-import pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-import bench  # noqa: E402  (configures the compile cache)
+import jax  # noqa: E402
 
-which = set(sys.argv[1:]) or {"serving", "swin-large", "clip-l14"}
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/stgcma_jax_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench  # noqa: E402
+
+which = set(sys.argv[1:]) or {"serving", "swin-large", "swin-base",
+                              "clip-l14", "bf16-exact"}
 
 if "serving" in which:
     t0 = time.perf_counter()
-    ctx = bench._prep_serving_device(2)
+    ctx = bench._prep_serving_device(
+        int(os.environ.get("BENCH_SERVING_BATCH", "2")))
     print(f"serving-device prep: {time.perf_counter() - t0:.0f}s", flush=True)
     r = bench._measure_serving_device(ctx)
     print(f"serving-device: {r[0]:.2f} clips/s {r[1]}", flush=True)
 
-for model, b in (("swin-large", 4), ("clip-l14", 8)):
+if "bf16-exact" in which:
+    t0 = time.perf_counter()
+    ctx = bench._prep_infer_single("clip-b16", 8, int8=False, n=24,
+                                   env={"STGCMA_EXACT_SOFTMAX": "1"})
+    print(f"bf16-exact prep: {time.perf_counter() - t0:.0f}s", flush=True)
+    print(f"bf16-exact: {bench._measure_infer_single(ctx):.2f} clips/s",
+          flush=True)
+
+for model, b in (("swin-large", 4), ("swin-base", 8), ("clip-l14", 8)):
     if model not in which:
         continue
     t0 = time.perf_counter()
-    ctx = bench._prep_infer(model, b, int8=True)
+    ctx = bench._prep_infer_single(model, b, int8=True)
     print(f"{model} int8 prep: {time.perf_counter() - t0:.0f}s", flush=True)
-    cps = bench._measure_infer(ctx)
+    cps = bench._measure_infer_single(ctx)
     print(f"{model} int8: {cps:.2f} clips/s", flush=True)
-
-import os
-os._exit(0)  # same rationale as bench.main: daemonized relay teardown aborts

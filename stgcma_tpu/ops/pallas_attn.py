@@ -112,6 +112,20 @@ def _softmax_exp(x):
     return two_i * p
 
 
+def _gsem(n: int):
+    """dimension_semantics for the megakernel grids. Every grid here is
+    data-parallel over row tiles (each output tile written by exactly one
+    grid step; weight operands constant-indexed), so declaring 'parallel'
+    is always sound and lets Mosaic overlap grid steps (double-buffered
+    HBM<->VMEM prefetch) instead of the conservative 'arbitrary' schedule —
+    the kernel-level pipelining residual in the round-4 floor accounting
+    (VERDICT r4 #4). STGCMA_PARALLEL_GRID=0 reverts (A/B:
+    scripts/ab_parallel_grid.py); read at trace time."""
+    if os.environ.get("STGCMA_PARALLEL_GRID", "1") == "0":
+        return None
+    return ("parallel",) * n
+
+
 def _winblock_tile_bytes() -> int:
     """x-tile byte budget for the windowed block megakernels
     (STGCMA_WINBLOCK_TILE_MB, default 1)."""
@@ -168,6 +182,7 @@ def _attn_fwd_pallas(q, k, v, tq: int = 256):
         out_specs=pl.BlockSpec((1, TQ, DVP), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(2),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(qp, kp, vp)
@@ -287,6 +302,7 @@ def _wmsa_pallas(q, k, v, biasmask, rows_per_tile: int = 128):
         out_specs=pl.BlockSpec((TR, N, dh), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(q, k, v, biasmask)
@@ -473,6 +489,7 @@ def _win_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm, heads)
         out_specs=pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bm)
@@ -702,6 +719,7 @@ def _ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str):
         out_specs=pl.BlockSpec((TT, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, w1, b1, w2, b2)
@@ -1144,6 +1162,7 @@ def _bidir_fuse_pallas(vh, ah, gate_v, gate_a, tq: int = 512):
             in_specs=[vspec, aspec, gspec, gspec],
             out_specs=(vspec, aspec),
             compiler_params=pltpu.CompilerParams(
+                dimension_semantics=_gsem(1),
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=(jax.default_backend() == "cpu"),
         )(vh, ah, gv, ga)
@@ -1170,6 +1189,7 @@ def _bidir_fuse_pallas(vh, ah, gate_v, gate_a, tq: int = 512):
                         pltpu.VMEM((1, Na), jnp.float32),
                         pltpu.VMEM((Na, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(2),
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(vh, ah, gv, ga)
@@ -1259,6 +1279,7 @@ def _win_fuse_pallas(vh, ah, gate_v, gate_a):
                                memory_space=pltpu.VMEM)],
         out_specs=(spec, spec),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(vh, ah, gate_v.astype(jnp.float32), gate_a.astype(jnp.float32),
@@ -1345,6 +1366,62 @@ def _dotq(xf, wq, ws):
     return acc.astype(jnp.float32) * sx * ws
 
 
+def _int8_grams() -> str:
+    """STGCMA_Q_INT8_GRAMS: quantize the ATTENTION GRAMS inside the int8
+    kernels (VERDICT r4 #3 — the one floor term still priced at bf16/197
+    TOPS). Read at trace time. Values:
+      ""   (default) — grams stay bf16
+      "qk" — q·kᵀ int8 (per-row quant along dh; cheap quant, 2x gram rate)
+      "all" — q·kᵀ AND p·v int8 (p rows + v contraction-columns quantized)
+    Fidelity is bounded per run by the bench int8-fidelity extra."""
+    return os.environ.get("STGCMA_Q_INT8_GRAMS", "")
+
+
+def _gram_qk(q, k):
+    """Batched attention gram q·kᵀ: (G,N,dh)x(G,M,dh)->(G,N,M) fp32.
+    bf16 MXU by default; int8 with per-row dynamic quant under
+    STGCMA_Q_INT8_GRAMS (both operands contract over dh — row-scale exact)."""
+    dims = (((2,), (2,)), ((0,), (0,)))
+    if _int8_grams() in ("qk", "all"):
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                         1e-30) * (1.0 / 127.0)
+        sk = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1, keepdims=True),
+                         1e-30) * (1.0 / 127.0)
+        qq = jnp.clip(jnp.round(qf * pl.reciprocal(sq, approx=True)),
+                      -127, 127).astype(jnp.int8)
+        kq = jnp.clip(jnp.round(kf * pl.reciprocal(sk, approx=True)),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(qq, kq, dims,
+                                  preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * sq * sk.transpose(0, 2, 1)
+    return jax.lax.dot_general(q, k, dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _gram_pv(p, v):
+    """Probability-weighted value gram p·v: (G,N,M) fp32 x (G,M,dh) ->
+    (G,N,dh) fp32. bf16 MXU by default; int8 under STGCMA_Q_INT8_GRAMS=all
+    (p per-row: p>=0 so row max IS the scale; v per contraction-column)."""
+    dims = (((2,), (1,)), ((0,), (0,)))
+    if _int8_grams() == "all":
+        pf = p.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
+        sp = jnp.maximum(jnp.max(pf, axis=-1, keepdims=True),
+                         1e-30) * (1.0 / 127.0)
+        sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=1, keepdims=True),
+                         1e-30) * (1.0 / 127.0)
+        pq = jnp.round(pf * pl.reciprocal(sp, approx=True)).astype(jnp.int8)
+        vq = jnp.clip(jnp.round(vf * pl.reciprocal(sv, approx=True)),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(pq, vq, dims,
+                                  preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * sp * sv
+    return jax.lax.dot_general(p.astype(v.dtype), v, dims,
+                               preferred_element_type=jnp.float32)
+
+
 def _win_block_q_core(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                       wproj_ref, sproj_ref, bproj_ref, bm_ref, *,
                       heads: int, ln_eps: float):
@@ -1369,15 +1446,12 @@ def _win_block_q_core(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         q = qkv[:, h * dh:(h + 1) * dh].reshape(TW, N, dh) * scale
         k = qkv[:, C + h * dh: C + (h + 1) * dh].reshape(TW, N, dh)
         v = qkv[:, 2 * C + h * dh: 2 * C + (h + 1) * dh].reshape(TW, N, dh)
-        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
+        logits = _gram_qk(q, k)
         logits = logits.reshape(TW // nWb, nWb, N, N) + bm_ref[:, h][None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = _softmax_exp(logits - m)
         p = _pnorm(e).reshape(TW, N, N)
-        oh = jax.lax.dot_general(p.astype(jnp.bfloat16), v,
-                                 (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
+        oh = _gram_pv(p, v)
         outs.append(oh.astype(jnp.bfloat16).reshape(TW * N, dh))
     o = jnp.concatenate(outs, axis=-1)          # (TW*N, C) heads merged
     o = _dotq(o.astype(jnp.float32), wproj_ref[:], sproj_ref[:])
@@ -1472,6 +1546,7 @@ def _win_block_q_pallas(x, ln_scale, ln_bias, qp, bm, heads):
         out_specs=pl.BlockSpec((TW, N, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, qp["wqkv_q"], qp["wqkv_s"], qp["bqkv"],
@@ -1520,6 +1595,7 @@ def _win_block_qad_pallas(x, ln_scale, ln_bias, qp, wd, bd, bm, heads,
         ],
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, qp["wqkv_q"], qp["wqkv_s"], qp["bqkv"],
@@ -1574,6 +1650,7 @@ def _ffn_q_pallas(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2, act: str):
         out_specs=pl.BlockSpec((TT, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2)
@@ -1637,6 +1714,7 @@ def _ffn_qh_pallas(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2, wd, bd,
                    pl.BlockSpec((TT, dA), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2, wd, bd)
@@ -1716,15 +1794,22 @@ def _tblock_v2_kernel(x_ref, lns, lnb, wqkv, sqkv, bqkv, wproj, sproj, bproj,
         q = qkvT[:, :, h * dh:(h + 1) * dh] * scale
         k = qkvT[:, :, C + h * dh:C + (h + 1) * dh]
         v = qkvT[:, :, 2 * C + h * dh:2 * C + (h + 1) * dh]
-        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
+        if quantized:
+            logits = _gram_qk(q, k)
+        else:
+            logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.float32)
         logits = logits + bm_ref[0, h][None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p = _pnorm(e).astype(x.dtype)
-        outs.append(jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
-                                        preferred_element_type=jnp.float32
-                                        ).astype(x.dtype))
+        if quantized:
+            p = _pnorm(e)
+            outs.append(_gram_pv(p, v).astype(x.dtype))
+        else:
+            p = _pnorm(e).astype(x.dtype)
+            outs.append(jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                            preferred_element_type=jnp.float32
+                                            ).astype(x.dtype))
     o = jnp.concatenate(outs, axis=-1)             # (G, 128, C)
     o = o.reshape(TG, NP, TP, C)[:, :, :T]         # drop T pad
     o = jnp.transpose(o, (0, 2, 1, 3)).reshape(rows, C)   # token-major
@@ -1804,6 +1889,7 @@ def _tv2_pallas(cp, ln, ad_p, x, bias, heads: int, T: int, tg: int = 2):
                         lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)],
         out_specs=xspec,
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x4, *args, bm)

@@ -66,21 +66,30 @@ def _self_attn(x, wqkv, bqkv, wproj, bproj, heads: int, n_real: int,
     scale = dh ** -0.5
     flat = x.reshape(TB * N, C)
     qkv = _linq(flat, wqkv, sqkv, bqkv).astype(x.dtype)
+    # int8-gram policy applies only in serving/int8 mode (sqkv set) so the
+    # faithful-numerics bf16 class is never affected by the env toggle
+    from .pallas_attn import _gram_pv, _gram_qk
+    gram_qk = _gram_qk if sqkv is not None else (
+        lambda q, k: jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    gram_pv = _gram_pv if sqkv is not None else (
+        lambda p, v: jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
     outs = []
     for h in range(heads):
         q = qkv[:, h * dh:(h + 1) * dh].reshape(TB, N, dh) * scale
         k = qkv[:, C + h * dh:C + (h + 1) * dh].reshape(TB, N, dh)
         v = qkv[:, 2 * C + h * dh:2 * C + (h + 1) * dh].reshape(TB, N, dh)
-        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
+        logits = gram_qk(q, k)
         if n_real != N:
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
             logits = jnp.where(col < n_real, logits, -1e30)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         p = _pnorm(e)
-        oh = jax.lax.dot_general(p.astype(x.dtype), v, (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
+        oh = gram_pv(p, v)
         outs.append(oh.astype(x.dtype).reshape(TB * N, dh))
     o = jnp.concatenate(outs, axis=-1)
     o = _linq(o, wproj, sproj, bproj)
@@ -90,7 +99,7 @@ def _self_attn(x, wqkv, bqkv, wproj, bproj, heads: int, n_real: int,
 # exp-numerator -> probabilities: single shared numerics policy (approx-
 # reciprocal by default, STGCMA_EXACT_SOFTMAX=1 for the exact divide) — one
 # definition so a tuning change cannot silently miss a kernel family
-from .pallas_attn import _pnorm  # noqa: E402
+from .pallas_attn import _gsem, _pnorm  # noqa: E402
 
 
 def _erf(x):
@@ -304,6 +313,7 @@ def _fusion_pallas(p, v, a, heads: int, tile_bt: int = 4):
         in_specs=[vspec, aspec] + wspecs,
         out_specs=(vspec, aspec),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(vp, ap, *args)
@@ -350,19 +360,26 @@ def _tadapt_kernel(x_ref, ln1s, ln1b, wqkv, sqkv, bqkv, wproj, sproj, bproj,
     flat = _ln(x, ln1s[:], ln1b[:]).reshape(TR * N, C)
     qkv = _linq(flat, wqkv[:], sqkv[:] if quantized else None, bqkv[:]
                 ).astype(x.dtype)
+    from .pallas_attn import _gram_pv, _gram_qk
+    gram_qk = _gram_qk if quantized else (
+        lambda q, k: jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    gram_pv = _gram_pv if quantized else (
+        lambda p, v: jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
     outs = []
     for h in range(heads):
         q = qkv[:, h * dh:(h + 1) * dh].reshape(TR, N, dh) * scale
         k = qkv[:, C + h * dh:C + (h + 1) * dh].reshape(TR, N, dh)
         v = qkv[:, 2 * C + h * dh:2 * C + (h + 1) * dh].reshape(TR, N, dh)
-        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
+        logits = gram_qk(q, k)
         logits = logits + bm_ref[0, h][None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         p = _pnorm(e)
-        oh = jax.lax.dot_general(p.astype(x.dtype), v, (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
+        oh = gram_pv(p, v)
         outs.append(oh.astype(x.dtype).reshape(TR * N, dh))
     o = jnp.concatenate(outs, axis=-1)
     o = _linq(o, wproj[:], sproj[:] if quantized else None, bproj[:]
@@ -429,6 +446,7 @@ def _tadapt_pallas(attn_p, ln, ad_p, x, heads: int, pack: int = 8):
         out_specs=pl.BlockSpec((TG, pack * TP, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(xp, *args, bm)

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_attn import _gsem
 from .pallas_clip_block import _erf, _ln  # shared Mosaic-safe primitives
 
 
@@ -286,14 +287,22 @@ def _swin_block_kernel(v_ref, a_ref,
         q = qkv_h[:, :dh].reshape(BW, WS, dh) * scale
         k = qkv_h[:, dh:2 * dh].reshape(BW, WS, dh)
         vv = qkv_h[:, 2 * dh:].reshape(BW, WS, dh)
-        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
+        if quantized:
+            from .pallas_attn import _gram_pv, _gram_qk
+            logits = _gram_qk(q, k)
+        else:
+            logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.float32)
         logits = logits.reshape(B2, nW, WS, WS) + bias_h[None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        pr = _p_norm(e, dt).reshape(BW, WS, WS)
-        oh = jax.lax.dot_general(pr, vv, (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
+        if quantized:
+            pr = _p_norm(e, jnp.float32).reshape(BW, WS, WS)
+            oh = _gram_pv(pr, vv)
+        else:
+            pr = _p_norm(e, dt).reshape(BW, WS, WS)
+            oh = jax.lax.dot_general(pr, vv, (((2,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
         return oh.astype(dt).reshape(rows, dh)
 
     def _head_qkv(h):
@@ -527,6 +536,7 @@ def _fullgrid_pallas(p, v, a, geo_key, winmajor=None):
         out_specs=(xspec, xspec),
         scratch_shapes=[pltpu.VMEM((heads, 2 * TB * NP, dh), dt)],
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_gsem(1),
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(vp, ap, *args)
