@@ -5,8 +5,10 @@ Replaces AVS/preprocess/{preprocess_s4.py, preprocess_ms3.py} (ffmpeg/imageio
 frame sampling at 16 fps -> 1 png/s, moviepy 16 kHz wav extraction,
 torchvggish log-mel 5x[96,64] with last-second repeat padding).
 
-Video decode uses imageio(+ffmpeg plugin) when available; audio decode uses
-the native host-IO library or scipy. The log-mel uses ops.fbank.vggish_log_mel.
+Video decode prefers OpenCV's FFMPEG backend (mp4/avi/mkv/webm — the
+reference's container formats, preprocess_s4.py:24-43) and falls back to
+imageio (GIF and other Pillow-native containers); audio decode uses the
+native host-IO library or scipy. The log-mel uses ops.fbank.vggish_log_mel.
 """
 from __future__ import annotations
 
@@ -18,28 +20,57 @@ from typing import List, Optional
 import numpy as np
 
 
+def _decode_video_cv2(video_path: str):
+    """(frames (T,H,W,3) RGB uint8, fps) via OpenCV/FFMPEG, or None if the
+    backend can't open the container."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        return None
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        return None
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f[:, :, ::-1])        # BGR -> RGB
+    cap.release()
+    if not frames:
+        return None
+    return np.stack(frames), float(fps) if fps and fps > 0 else 16.0
+
+
 def extract_frames(video_path: str, out_dir: str, name: str,
                    num_seconds: int = 5, size: int = 224) -> bool:
     """1 frame per second, resized to size^2, saved {name}_{i+1}.png
     (preprocess_s4.py:24-102 sampling grid)."""
     try:
-        import imageio.v3 as iio
         from PIL import Image
-    except ImportError:
-        print("imageio/PIL unavailable — cannot extract frames")
+    except ImportError:  # pragma: no cover
+        print("PIL unavailable — cannot extract frames")
         return False
-    try:
-        meta = iio.immeta(video_path)
-        if "fps" in meta:
-            fps = float(meta["fps"])
-        elif meta.get("duration"):  # ms per frame (GIF-style containers)
-            fps = 1000.0 / float(meta["duration"])
-        else:
-            fps = 16.0
-        frames = iio.imread(video_path)  # (T, H, W, C)
-    except Exception as e:  # pragma: no cover
-        print(f"decode failed for {video_path}: {e}")
-        return False
+    decoded = None
+    if not video_path.lower().endswith(".gif"):   # cv2 mishandles GIF alpha
+        decoded = _decode_video_cv2(video_path)
+    if decoded is not None:
+        frames, fps = decoded
+    else:
+        try:
+            import imageio.v3 as iio
+            meta = iio.immeta(video_path)
+            if "fps" in meta:
+                fps = float(meta["fps"])
+            elif meta.get("duration"):  # ms per frame (GIF-style containers)
+                fps = 1000.0 / float(meta["duration"])
+            else:
+                fps = 16.0
+            frames = iio.imread(video_path)  # (T, H, W, C)
+        except Exception as e:  # pragma: no cover
+            print(f"decode failed for {video_path}: {e}")
+            return False
     os.makedirs(out_dir, exist_ok=True)
     total = len(frames)
     for s in range(num_seconds):
