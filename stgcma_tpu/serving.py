@@ -247,6 +247,47 @@ class HostDecoder:
         return batch
 
 
+def video_requests(task: str, items, num_frames: int = 10,
+                   frame_hw: Tuple[int, int] = (256, 256),
+                   start_rid: int = 0):
+    """Yield StreamRequests by decoding VIDEO CONTAINERS (mp4/avi/mkv —
+    OpenCV/FFMPEG backend) host-side: the reference serves only from
+    offline-extracted frame dirs (AVE/dataloader.py), so this closes the raw
+    corpus-file -> logits chain without a preprocessing pass.
+
+    items: iterable of (video_path, wav_path) or (video_path, wav_path,
+    extras). Sampling mirrors the offline grid (preprocess_s4.py:24-102 /
+    tools/preprocess_avs.py): one frame per second at the half-second mark,
+    clamped to the last frame, staged at `frame_hw` (the TPU pipeline still
+    applies the protocol resize/crop downstream)."""
+    import cv2
+
+    for i, item in enumerate(items):
+        video_path, wav_path = item[0], item[1]
+        extras = item[2] if len(item) > 2 else None
+        cap = cv2.VideoCapture(video_path)
+        if not cap.isOpened():
+            raise ValueError(f"cannot open video container: {video_path}")
+        fps = cap.get(cv2.CAP_PROP_FPS) or 16.0
+        raw = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            raw.append(f)
+        cap.release()
+        if not raw:
+            raise ValueError(f"no frames decoded from {video_path}")
+        H, W = frame_hw
+        frames = np.empty((num_frames, H, W, 3), np.uint8)
+        for s in range(num_frames):
+            idx = min(int(round((s + 0.5) * fps)), len(raw) - 1)
+            frames[s] = cv2.resize(raw[idx], (W, H),
+                                   interpolation=cv2.INTER_LINEAR)[:, :, ::-1]
+        yield StreamRequest(task=task, wav_path=wav_path, frames=frames,
+                            extras=extras, rid=start_rid + i)
+
+
 def serve_stream(server: MultiTaskServer,
                  pipelines: Dict[str, Callable],
                  requests: Iterable[StreamRequest],

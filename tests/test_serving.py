@@ -178,3 +178,55 @@ def test_stream_request_requires_frames_or_paths():
     req = StreamRequest(task="ave29", wav_path="/nonexistent.wav", rid=7)
     with _pytest.raises(ValueError, match="rid=7"):
         dec([req])
+
+
+def test_serve_stream_from_video_container(tmp_path):
+    import pytest
+    """Raw VIDEO-FILE ingest (round 5): mp4 -> cv2/FFMPEG host decode at the
+    offline sampling grid -> device preprocess -> model. The reference can
+    only serve from pre-extracted frame dirs; this is the full corpus-file
+    -> logits chain."""
+    import os
+    cv2 = pytest.importorskip("cv2")
+    from stgcma_tpu.data.loader import make_ave_device_pipeline
+    from stgcma_tpu.ops.fbank import FbankConfig
+    from stgcma_tpu.serving import HostDecoder, serve_stream, video_requests
+
+    cfg = swin_tiny_test(ftmode="fusion", num_frames=2)
+    srv = MultiTaskServer(dtype=jnp.float32)
+    srv.add_ave("ave29", cfg, ave.init_swin_ave(jax.random.PRNGKey(0), cfg))
+
+    vids = []
+    rng = np.random.RandomState(0)
+    for k in range(3):
+        p = str(tmp_path / f"clip{k}.mp4")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 4.0, (64, 64))
+        assert w.isOpened()
+        for i in range(12):
+            w.write(rng.randint(0, 255, (64, 64, 3), dtype=np.uint8))
+        w.release()
+        vids.append(p)
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "ave",
+                        "raw_audio")
+    wavs = [os.path.join(fdir, f) for f in sorted(os.listdir(fdir))]
+    reqs = list(video_requests(
+        "ave29", [(vids[i], wavs[i % len(wavs)]) for i in range(3)],
+        num_frames=cfg.num_frames, frame_hw=(64, 64)))
+    assert len(reqs) == 3 and reqs[0].frames.shape == (2, 64, 64, 3)
+
+    fb = FbankConfig(num_mel_bins=cfg.img_size)
+    pipe = make_ave_device_pipeline(fbank_cfg=fb, target_length=cfg.img_size,
+                                    image_size=cfg.img_size)
+
+    def ave_pipeline(host):
+        a, v = pipe({"frames": host["frames"], "wave": host["wave"]})
+        return {"a": a, "v": v}
+
+    dec = HostDecoder(num_segments=2, seg_samples=16000)
+    outs = list(serve_stream(srv, {"ave29": ave_pipeline}, reqs,
+                             batch_size=2, decoder=dec))
+    got = {rid for rids, _ in outs for rid in rids}
+    assert got == {0, 1, 2}
+    for _, logits in outs:
+        assert np.isfinite(logits).all()
