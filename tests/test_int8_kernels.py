@@ -175,3 +175,30 @@ def test_bf16_dequant_probe_close_to_fp32_dequant(monkeypatch):
     rel = float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                 - ref.astype(jnp.float32)))) / scale
     assert rel < 3e-2, rel
+
+
+@pytest.mark.parametrize("mode", ["qk", "all"])
+def test_int8_grams_close_to_bf16_grams(monkeypatch, mode):
+    """STGCMA_Q_INT8_GRAMS quantizes the attention grams inside the W8A8
+    kernels (VERDICT r4 #3 probe — measured NEGATIVE on v5e, kept as a
+    documented opt-in; BENCH_NOTES round 5). Pin the opt-in path's numerics
+    vs the default bf16-gram int8 kernel."""
+    monkeypatch.setenv("STGCMA_Q_INT8_GRAMS", mode)
+    rng = np.random.RandomState(1)
+    C, heads, N, B_ = 128, 4, 16, 8
+    x = jnp.asarray(rng.randn(B_, N, C), jnp.float32)
+    lns = jnp.ones((C,), jnp.float32)
+    lnb = jnp.zeros((C,), jnp.float32)
+    qkv = _lin(rng, C, 3 * C)
+    proj = _lin(rng, C, C)
+    bm = jnp.zeros((1, heads, N, N), jnp.float32)
+    qq, qs = quantize_weight(qkv["kernel"])
+    pq, ps = quantize_weight(proj["kernel"])
+    qp = {"wqkv_q": qq, "wqkv_s": qs, "bqkv": qkv["bias"],
+          "wproj_q": pq, "wproj_s": ps, "bproj": proj["bias"]}
+    out_g = PA._win_block_q_pallas(x, lns, lnb, qp, bm, heads)
+    monkeypatch.setenv("STGCMA_Q_INT8_GRAMS", "")
+    jax.clear_caches()
+    out_q = PA._win_block_q_pallas(x, lns, lnb, qp, bm, heads)
+    rel = float(jnp.max(jnp.abs(out_g - out_q))) / float(jnp.max(jnp.abs(out_q)))
+    assert rel < 0.05, rel
