@@ -229,3 +229,49 @@ def test_second_chance_keeps_error_when_prep_never_finishes():
     assert ("sub-budget" in by_label["wedged"]["error"]
             or "retry slot" in by_label["wedged"]["error"])
     assert by_label["other"]["value"] == 2
+
+
+def test_list_render_extends_extras():
+    """A spec whose render returns a LIST (the merged fidelity spec) yields
+    one extras entry per element, in place."""
+    extras = []
+    specs = [
+        (_l := "fid", 60, None, lambda: (1, 2),
+         lambda r: [{"metric": "fid-a", "value": r[0]},
+                    {"metric": "fid-b", "value": r[1]}]),
+        _spec("after", 60, lambda: 3),
+    ]
+    run_extras(specs, extras, budget_s=60.0, t_start=time.perf_counter(),
+               reserve_s=2.0, min_slot_s=0.5)
+    assert [e["metric"] for e in extras] == ["fid-a", "fid-b", "after"]
+
+
+def test_retry_list_render_splices_without_shifting_earlier_entries():
+    """A list-render spec that lands via the second-chance pass splices its
+    entries over the single error slot; other retried entries (recorded at
+    smaller indices) must still be replaced correctly."""
+    extras = []
+    slow_a = threading.Event()
+
+    def prep_a():
+        slow_a.wait(timeout=6.0)
+        return 10
+
+    def prep_b():
+        time.sleep(3.0)
+        return (20, 21)
+
+    specs = [
+        _pspec("a", 1, prep_a, lambda ctx: ctx),
+        ("b", 1, prep_b, lambda ctx: ctx,
+         lambda r: [{"metric": "b-1", "value": r[0]},
+                    {"metric": "b-2", "value": r[1]}]),
+        _spec("tail", 60, lambda: 5),
+    ]
+    threading.Timer(2.5, slow_a.set).start()
+    run_extras(specs, extras, budget_s=60.0, t_start=time.perf_counter(),
+               reserve_s=0.5, min_slot_s=0.5)
+    by_label = {e["metric"]: e for e in extras}
+    assert by_label["a"]["value"] == 10
+    assert by_label["b-1"]["value"] == 20 and by_label["b-2"]["value"] == 21
+    assert by_label["tail"]["value"] == 5
