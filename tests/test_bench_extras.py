@@ -58,7 +58,10 @@ def test_slow_extra_times_out_alone_and_later_extras_run():
     by_label = {e["metric"]: e for e in extras}
     assert by_label["fast1"]["value"] == 1
     assert "error" in by_label["slow"]
-    assert "sub-budget" in by_label["slow"]["error"]
+    # first pass records the sub-budget timeout; the second-chance pass may
+    # re-run the inline measure once and re-record it as a retry-slot timeout
+    assert ("sub-budget" in by_label["slow"]["error"]
+            or "retry slot" in by_label["slow"]["error"])
     # the extras AFTER the timed-out one still produced values
     assert by_label["fast2"]["value"] == 2
     assert by_label["fast3"]["value"] == 3
@@ -244,6 +247,72 @@ def test_list_render_extends_extras():
     run_extras(specs, extras, budget_s=60.0, t_start=time.perf_counter(),
                reserve_s=2.0, min_slot_s=0.5)
     assert [e["metric"] for e in extras] == ["fid-a", "fid-b", "after"]
+
+
+def test_measure_timeout_with_built_ctx_is_remeasured():
+    """Prep succeeds fast, but the first MEASURE overruns its slot (relay
+    dispatch-latency spike). The second-chance pass must reuse the built
+    ctx and replace the error with a real value (2026-08-21 preprocess
+    loss: the fut was already popped, so the old retry pass skipped it)."""
+    extras = []
+    calls = []
+
+    def measure(ctx):
+        calls.append(1)
+        if len(calls) == 1:
+            time.sleep(10)      # overruns the 1s slot only the first time
+        return ctx["v"]
+
+    specs = [
+        _pspec("spiky", 1, lambda: {"v": 11}, measure),
+        _spec("other", 60, lambda: 2),
+    ]
+    run_extras(specs, extras, budget_s=60.0, t_start=time.perf_counter(),
+               reserve_s=0.5, min_slot_s=0.5)
+    by_label = {e["metric"]: e for e in extras}
+    assert by_label["spiky"]["value"] == 11, extras
+    assert by_label["other"]["value"] == 2
+    assert len(calls) == 2
+
+
+def test_inline_timeout_is_rerun_after_queue_drains():
+    """An inline (prep-less) spec starved past its slot re-runs in the
+    second-chance pass (2026-08-21 host-decode loss)."""
+    extras = []
+    calls = []
+
+    def starved():
+        calls.append(1)
+        if len(calls) == 1:
+            time.sleep(10)
+        return 7
+
+    specs = [_spec("starved", 1, starved), _spec("other", 60, lambda: 2)]
+    run_extras(specs, extras, budget_s=60.0, t_start=time.perf_counter(),
+               reserve_s=0.5, min_slot_s=0.5)
+    by_label = {e["metric"]: e for e in extras}
+    assert by_label["starved"]["value"] == 7, extras
+    assert by_label["other"]["value"] == 2
+
+
+def test_failed_prep_surfaces_real_exception_after_wait_timeout():
+    """A prep that RAISES after the spec's slot already expired must show
+    the prep's own exception, not the stale waiting-timeout entry."""
+    extras = []
+
+    def late_failing_prep():
+        time.sleep(2.0)
+        raise RuntimeError("relay rejected program")
+
+    specs = [
+        _pspec("badprep", 1, late_failing_prep, lambda ctx: 1),
+        _spec("other", 60, lambda: time.sleep(2.2) or 2),
+    ]
+    run_extras(specs, extras, budget_s=60.0, t_start=time.perf_counter(),
+               reserve_s=0.5, min_slot_s=0.5)
+    by_label = {e["metric"]: e for e in extras}
+    assert "relay rejected program" in by_label["badprep"]["error"], extras
+    assert by_label["other"]["value"] == 2
 
 
 def test_retry_list_render_splices_without_shifting_earlier_entries():
