@@ -11,8 +11,8 @@ script once — no alarms, compiles run to completion — populates
 measures them in seconds. Idempotent: cached programs load instead of
 recompiling.
 
-    python scripts/warm_cache.py [serving] [swin-large] [swin-base] [clip-l14] [bf16-exact]
-    python scripts/warm_cache.py            # all of them
+    python scripts/warm_cache.py [serving] [swin-large] [swin-base] [clip-l14] [bf16-exact] [preprocess]
+    python scripts/warm_cache.py            # default heavy set
 """
 import os
 import pathlib
@@ -39,6 +39,13 @@ if "serving" in which:
     print(f"serving-device prep: {time.perf_counter() - t0:.0f}s", flush=True)
     r = bench._measure_serving_device(ctx)
     print(f"serving-device: {r[0]:.2f} clips/s {r[1]}", flush=True)
+
+if "preprocess" in which:   # opt-in: moderate compile, not in the default set
+    t0 = time.perf_counter()
+    ctx = bench._prep_preprocess(int(os.environ.get("BENCH_BATCH", "8")))
+    print(f"preprocess prep: {time.perf_counter() - t0:.0f}s", flush=True)
+    gbs, cps = bench._measure_preprocess(ctx)
+    print(f"preprocess: {gbs:.2f} GB/s {cps:.0f} clips/s", flush=True)
 
 if "bf16-exact" in which:
     t0 = time.perf_counter()
